@@ -1,0 +1,73 @@
+"""Shared assigner math (reference: yolov6/assigners/assigner_utils.py).
+
+Everything is fixed-shape jnp so both assigners jit cleanly on TPU -- this replaces the
+reference's CUDA-OOM -> CPU fallback path (yolov6/models/loss.py:102-149) outright.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def iou_batched(box1, box2, eps: float = 1e-9):
+    """Pairwise IoU: box1 [B,N,4] x box2 [B,M,4] -> [B,N,M] (assigner_utils.py:69-89)."""
+    b1 = box1[:, :, None, :]
+    b2 = box2[:, None, :, :]
+    lt = jnp.maximum(b1[..., :2], b2[..., :2])
+    rb = jnp.minimum(b1[..., 2:], b2[..., 2:])
+    overlap = jnp.clip(rb - lt, 0).prod(-1)
+    area1 = jnp.clip(b1[..., 2:] - b1[..., :2], 0).prod(-1)
+    area2 = jnp.clip(b2[..., 2:] - b2[..., :2], 0).prod(-1)
+    return overlap / (area1 + area2 - overlap + eps)
+
+
+def iou_pairwise_2d(boxes1, boxes2, eps: float = 1e-6):
+    """Pairwise IoU: [N,4] x [M,4] -> [N,M] (iou2d_calculator semantics, mode='iou')."""
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    overlap = jnp.clip(rb - lt, 0).prod(-1)
+    area1 = jnp.clip(boxes1[:, 2:] - boxes1[:, :2], 0).prod(-1)
+    area2 = jnp.clip(boxes2[:, 2:] - boxes2[:, :2], 0).prod(-1)
+    union = area1[:, None] + area2[None, :] - overlap
+    return overlap / jnp.maximum(union, eps)
+
+
+def candidates_in_gts(xy_centers, gt_bboxes, eps: float = 1e-9):
+    """Anchor centers strictly inside gt boxes (assigner_utils.py:25-44).
+
+    xy_centers [A,2], gt_bboxes [B,N,4] -> [B,N,A] float mask.
+    """
+    lt_delta = xy_centers[None, None, :, :] - gt_bboxes[:, :, None, :2]
+    rb_delta = gt_bboxes[:, :, None, 2:] - xy_centers[None, None, :, :]
+    deltas = jnp.concatenate([lt_delta, rb_delta], axis=-1)
+    return (deltas.min(-1) > eps).astype(gt_bboxes.dtype)
+
+
+def resolve_conflicts(mask_pos, overlaps):
+    """Anchors claimed by multiple gts go to the highest-IoU gt
+    (select_highest_overlaps, assigner_utils.py:46-67).
+
+    mask_pos, overlaps: [B,N,A] -> (target_gt_idx [B,A], fg_mask [B,A], mask_pos).
+    """
+    n_max_boxes = mask_pos.shape[1]
+    fg_mask = mask_pos.sum(-2)
+    mask_multi = (fg_mask[:, None, :] > 1)
+    max_idx = jnp.argmax(overlaps, axis=1)                     # [B,A]
+    is_max = jnp.moveaxis(
+        jnp.eye(n_max_boxes, dtype=overlaps.dtype)[max_idx], -1, 1)  # [B,N,A]
+    mask_pos = jnp.where(mask_multi, is_max, mask_pos)
+    fg_mask = mask_pos.sum(-2)
+    target_gt_idx = jnp.argmax(mask_pos, axis=-2)
+    return target_gt_idx, fg_mask, mask_pos
+
+
+def dedup_topk_mask(topk_idx, topk_valid, n: int):
+    """The reference's one_hot-sum dedup trick (tal_assigner.py:124-128).
+
+    topk_idx [..., K] indices into axis of size n; invalid entries are first zeroed,
+    then any index selected more than once (including the resulting pile-up at 0)
+    is dropped entirely. Implemented as a scatter-add histogram.
+    """
+    idx = jnp.where(topk_valid, topk_idx, 0)
+    counts = jnp.zeros((*idx.shape[:-1], n), dtype=jnp.int32)
+    counts = counts.at[(*jnp.indices(idx.shape[:-1], sparse=True), idx)].add(1)
+    return jnp.where(counts > 1, 0, counts).astype(jnp.float32)

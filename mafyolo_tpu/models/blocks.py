@@ -1,0 +1,438 @@
+"""MAF-YOLO block zoo as flax.linen modules, NHWC, TPU-first.
+
+Behavioral parity targets (cited into the reference, /root/reference):
+  Conv / ConvWrapper      yolov6/layers/common.py:29-50, 76-84
+  SimConv                 yolov6/layers/common.py:53-74
+  SPPF                    yolov6/layers/common.py:114-129
+  RepVGGBlock             yolov6/layers/common.py:166-284
+  MPRep                   yolov6/layers/common.py:776-792
+  DepthBottleneckUni      yolov6/layers/common.py:898-927
+  RepHDW                  yolov6/layers/common.py:928-946
+  Head_DepthUni           yolov6/layers/common.py:1288-1336
+  ReparamLargeKernelConv  yolov6/layers/common.py:2706-2795
+  DilatedReparamBlock     yolov6/layers/common.py:2948-3051
+  UniRepLKNetBlock        yolov6/layers/common.py:3053-3101
+
+Every re-parameterizable block exists in two forms selected by the `deploy` field:
+train form (multi-branch conv+BN) and deploy form (a single biased conv). The pure
+pytree transform mapping one to the other lives in mafyolo_tpu/models/reparam.py.
+
+Design choices (TPU-first, not a port):
+  * NHWC layout end-to-end; convolutions hit the MXU via XLA with HWIO kernels.
+  * BatchNorm statistics are fp32; convolution compute dtype is a module field so the
+    whole network can run in bfloat16 while params stay fp32.
+  * BN hyperparams match the reference's init override (eps=1e-3, torch momentum 0.03
+    => flax momentum 0.97; yolov6/utils/torch_utils.py:43-45).
+  * Conv weight init matches torch's Conv2d default (kaiming_uniform(a=sqrt(5)), i.e.
+    U(-sqrt(1/fan_in), +sqrt(1/fan_in))) so from-scratch training dynamics line up.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# torch nn.Conv2d default weight init: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in)).
+# flax variance_scaling uniform limit = sqrt(3*scale/fan_in) -> scale=1/3.
+torch_conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_conv_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def _activate(x, act: Optional[str]):
+    if act is None:
+        return x
+    if act == "silu":
+        return nn.silu(x)
+    if act == "relu":
+        return nn.relu(x)
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def autopad(k: int, dilation: int = 1) -> int:
+    """'same'-style padding used throughout the reference: (d*(k-1)+1)//2."""
+    return (dilation * (k - 1) + 1) // 2
+
+
+class ConvBN(nn.Module):
+    """conv(bias=False) + BatchNorm + optional activation (reference Conv/conv_bn cells)."""
+    cout: int
+    k: int = 1
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+    act: Optional[str] = None
+    pad: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = autopad(self.k, self.dilation) if self.pad is None else self.pad
+        x = nn.Conv(
+            self.cout, (self.k, self.k), strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)], feature_group_count=self.groups,
+            kernel_dilation=(self.dilation, self.dilation), use_bias=False,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=jnp.float32, param_dtype=jnp.float32, name="bn")(x.astype(jnp.float32))
+        return _activate(x.astype(self.dtype), self.act)
+
+
+class ConvAct(nn.Module):
+    """Deploy-form conv with bias + optional activation (the fold target of ConvBN)."""
+    cout: int
+    k: int = 1
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+    act: Optional[str] = None
+    pad: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        p = autopad(self.k, self.dilation) if self.pad is None else self.pad
+        x = nn.Conv(
+            self.cout, (self.k, self.k), strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)], feature_group_count=self.groups,
+            kernel_dilation=(self.dilation, self.dilation), use_bias=True,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        return _activate(x, self.act)
+
+
+def _convish(deploy: bool):
+    return ConvAct if deploy else ConvBN
+
+
+class Conv(nn.Module):
+    """conv-BN-SiLU (reference Conv, common.py:29-50)."""
+    cout: int
+    k: int = 1
+    stride: int = 1
+    groups: int = 1
+    deploy: bool = False
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _convish(self.deploy)(
+            self.cout, self.k, self.stride, self.groups, act=self.act,
+            dtype=self.dtype, name="block")(x, train)
+
+
+class ConvWrapper(nn.Module):
+    """Default-k3 Conv wrapper (common.py:76-84); the MAFPN down-branch convs."""
+    cout: int
+    k: int = 3
+    stride: int = 1
+    groups: int = 1
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _convish(self.deploy)(
+            self.cout, self.k, self.stride, self.groups, act="silu",
+            dtype=self.dtype, name="block")(x, train)
+
+
+class SimConv(nn.Module):
+    """conv-BN-ReLU (common.py:53-74)."""
+    cout: int
+    k: int = 1
+    stride: int = 1
+    groups: int = 1
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _convish(self.deploy)(
+            self.cout, self.k, self.stride, self.groups, act="relu",
+            dtype=self.dtype, name="block")(x, train)
+
+
+def max_pool_same(x, k: int, stride: int = 1):
+    """MaxPool2d(k, stride, padding=k//2) equivalent, NHWC."""
+    p = k // 2
+    return nn.max_pool(x, (k, k), strides=(stride, stride), padding=[(p, p), (p, p)])
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling - fast (common.py:114-129)."""
+    cin: int
+    cout: int
+    k: int = 5
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.cin // 2
+        cv = _convish(self.deploy)
+        x = cv(c_, 1, act="silu", dtype=self.dtype, name="cv1")(x, train)
+        y1 = max_pool_same(x, self.k)
+        y2 = max_pool_same(y1, self.k)
+        y3 = max_pool_same(y2, self.k)
+        y = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        return cv(self.cout, 1, act="silu", dtype=self.dtype, name="cv2")(y, train)
+
+
+class RepVGGBlock(nn.Module):
+    """RepVGG 3x3+1x1+identity block with ReLU (common.py:166-284).
+
+    Train: relu(dense3x3_bn(x) + pw1x1_bn(x) [+ id_bn(x) if cin==cout and stride==1]).
+    Deploy: relu(conv3x3+bias) -- see reparam.fold_repvgg.
+    """
+    cin: int
+    cout: int
+    stride: int = 1
+    groups: int = 1
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.deploy:
+            y = ConvAct(self.cout, 3, self.stride, self.groups, dtype=self.dtype,
+                        name="fused")(x, train)
+            return nn.relu(y)
+        y = ConvBN(self.cout, 3, self.stride, self.groups, dtype=self.dtype,
+                   name="dense")(x, train)
+        y = y + ConvBN(self.cout, 1, self.stride, self.groups, pad=0, dtype=self.dtype,
+                       name="pw")(x, train)
+        if self.cin == self.cout and self.stride == 1:
+            idn = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                               dtype=jnp.float32, param_dtype=jnp.float32,
+                               name="idbn")(x.astype(jnp.float32))
+            y = y + idn.astype(self.dtype)
+        return nn.relu(y)
+
+
+class MPRep(nn.Module):
+    """Dual-path downsample: maxpool2+1x1conv || stride-2 RepVGG, concat (common.py:776-792)."""
+    cin: int
+    cout: int
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.cout // 2
+        a = nn.max_pool(x, (2, 2), strides=(2, 2))
+        a = _convish(self.deploy)(c_, 1, act="silu", dtype=self.dtype, name="pool_proj")(a, train)
+        b = RepVGGBlock(self.cin, c_, stride=2, deploy=self.deploy, dtype=self.dtype,
+                        name="rep_down")(x, train)
+        return jnp.concatenate([a, b], axis=-1)
+
+
+# Branch schedule of the UniRepLKNet dilated-reparam block for each origin kernel size:
+# list of (kernel, dilation) pairs (common.py:2985-3008). Shipped MAF graphs use k in
+# {3,5,7,9}, where every dilation is 1; the >=11 rows keep generality.
+DILATED_BRANCHES = {
+    17: ((5, 1), (9, 2), (3, 4), (3, 5), (3, 7)),
+    15: ((5, 1), (7, 2), (3, 3), (3, 5), (3, 7)),
+    13: ((5, 1), (7, 2), (3, 3), (3, 4), (3, 5)),
+    11: ((5, 1), (5, 2), (3, 3), (3, 4), (3, 5)),
+    9: ((7, 1), (5, 1), (3, 1)),
+    7: ((5, 1), (3, 1)),
+    5: ((3, 1), (1, 1)),
+    3: ((3, 1), (1, 1)),
+}
+
+
+class DilatedReparamBlock(nn.Module):
+    """UniRepLKNet dilated re-param depthwise block (common.py:2948-3051).
+
+    Train: bn(dw_kxk(x)) + sum_i bn_i(dw_{k_i,r_i}(x)); no activation.
+    Deploy: a single depthwise kxk conv with bias.
+    """
+    ch: int
+    k: int
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.deploy:
+            return ConvAct(self.ch, self.k, groups=self.ch, dtype=self.dtype,
+                           name="fused")(x, train)
+        out = ConvBN(self.ch, self.k, groups=self.ch, dtype=self.dtype,
+                     name="origin")(x, train)
+        for ks, r in DILATED_BRANCHES[self.k]:
+            out = out + ConvBN(self.ch, ks, groups=self.ch, dilation=r, dtype=self.dtype,
+                               name=f"dil_k{ks}_r{r}")(x, train)
+        return out
+
+
+class UniRepLKNetBlock(nn.Module):
+    """DilatedReparamBlock + trailing BN; folds to one biased DW conv (common.py:3053-3101)."""
+    ch: int
+    k: int
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.k == 0:
+            return x
+        if self.deploy:
+            return ConvAct(self.ch, self.k, groups=self.ch, dtype=self.dtype,
+                           name="fused")(x, train)
+        y = DilatedReparamBlock(self.ch, self.k, dtype=self.dtype, name="drb")(x, train)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="post_bn")(y.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class ReparamLargeKernelConv(nn.Module):
+    """Large-kernel DW conv + parallel small-kernel branch, ReLU (common.py:2706-2795)."""
+    ch: int
+    k: int
+    stride: int = 1
+    small_k: int = 3
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.deploy:
+            y = ConvAct(self.ch, self.k, self.stride, groups=self.ch, dtype=self.dtype,
+                        name="fused")(x, train)
+            return nn.relu(y)
+        y = ConvBN(self.ch, self.k, self.stride, groups=self.ch, dtype=self.dtype,
+                   name="lk")(x, train)
+        y = y + ConvBN(self.ch, self.small_k, self.stride, groups=self.ch, dtype=self.dtype,
+                       name="small")(x, train)
+        return nn.relu(y)
+
+
+class DepthBottleneckUni(nn.Module):
+    """1x1 expand -> UniRepLKNet DW -> SiLU -> 1x1 project (common.py:898-927).
+
+    Note: the reference stores `shortcut` but never adds a residual in this block.
+    """
+    cin: int
+    cout: int
+    kersize: int = 5
+    expansion_depth: float = 1.0
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = int(self.cin * self.expansion_depth)
+        cv = _convish(self.deploy)
+        y = cv(mid, 1, act="silu", dtype=self.dtype, name="expand")(x, train)
+        y = UniRepLKNetBlock(mid, self.kersize, deploy=self.deploy, dtype=self.dtype,
+                             name="dw")(y, train)
+        y = nn.silu(y)
+        return cv(self.cout, 1, act="silu", dtype=self.dtype, name="project")(y, train)
+
+
+class RepHDW(nn.Module):
+    """CSP-style heterogeneous-DW merge block, the core MAF unit (common.py:928-946).
+
+    1x1 in-conv to 2*c_; split; chain `depth` DepthBottleneckUni, appending each output;
+    concat (depth+2)*c_; 1x1 out-conv.
+    """
+    cin: int
+    cout: int
+    depth: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    kersize: int = 5
+    depth_expansion: float = 1.0
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.cout * self.expansion)
+        cv = _convish(self.deploy)
+        x = cv(2 * c_, 1, act="silu", dtype=self.dtype, name="cv_in")(x, train)
+        outs = [x[..., :c_], x[..., c_:2 * c_]]
+        for i in range(self.depth):
+            y = DepthBottleneckUni(c_, c_, self.kersize, self.depth_expansion,
+                                   deploy=self.deploy, dtype=self.dtype,
+                                   name=f"m{i}")(outs[-1], train)
+            outs.append(y)
+        y = jnp.concatenate(outs, axis=-1)
+        return cv(self.cout, 1, act="silu", dtype=self.dtype, name="cv_out")(y, train)
+
+
+class Head_DepthUni(nn.Module):
+    """Per-level decoupled head (common.py:1288-1336).
+
+    stem 1x1 -> {cls,reg} branches of (UniRepLKNet DW k + 1x1 Conv) -> 1x1 preds.
+    cls_pred bias init -log((1-p)/p) with p=1e-2, weights zero; reg_pred bias 1.0,
+    weights zero (common.py:1307-1323). Returns (stem_feat, sigmoid(cls), reg_distri).
+    """
+    cin: int
+    cout: int
+    reg_max: int = 16
+    kersize: int = 5
+    nc: int = 80
+    num_anchors: int = 1
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cv = _convish(self.deploy)
+        prior = 1e-2
+        x = cv(self.cout, 1, act="silu", dtype=self.dtype, name="stem")(x, train)
+        cls_f = UniRepLKNetBlock(self.cout, self.kersize, deploy=self.deploy,
+                                 dtype=self.dtype, name="cls_dw")(x, train)
+        cls_f = cv(self.cout, 1, act="silu", dtype=self.dtype, name="cls_proj")(cls_f, train)
+        cls_out = nn.Conv(self.nc * self.num_anchors, (1, 1), use_bias=True,
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.constant(-math.log((1 - prior) / prior)),
+                          dtype=self.dtype, param_dtype=jnp.float32, name="cls_pred")(cls_f)
+        cls_out = nn.sigmoid(cls_out.astype(jnp.float32))
+        reg_f = UniRepLKNetBlock(self.cout, self.kersize, deploy=self.deploy,
+                                 dtype=self.dtype, name="reg_dw")(x, train)
+        reg_f = cv(self.cout, 1, act="silu", dtype=self.dtype, name="reg_proj")(reg_f, train)
+        reg_out = nn.Conv(4 * (self.reg_max + self.num_anchors), (1, 1), use_bias=True,
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.constant(1.0),
+                          dtype=self.dtype, param_dtype=jnp.float32, name="reg_pred")(reg_f)
+        return x, cls_out, reg_out.astype(jnp.float32)
+
+
+class Upsample2x(nn.Module):
+    """nn.Upsample(scale=2, mode='nearest') equivalent; exact integer-repeat, fusion-friendly."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        b, h, w, c = x.shape
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class Concat(nn.Module):
+    """Channel concat over the NHWC channel axis (common.py:148-154, dim=1 in NCHW)."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        del train
+        return jnp.concatenate(list(xs), axis=-1)

@@ -1,0 +1,216 @@
+"""Graph-spec parser and graph-executing model.
+
+Interprets [from, repeats, module, args] rows with the same argument conventions as the
+reference parser (yolov6/models/yolo.py:15-120): width_multiple scales RepVGGBlock /
+SPPF / Conv channels with make_divisible(.,4), MPRep / Head_DepthUni with
+make_divisible(.,8); RepHDW and ConvWrapper channels are taken verbatim; the repeat
+count of a RepHDW row becomes its chain depth.
+
+The executor is a single flax module that walks the topologically-ordered layer list
+keeping a save-list of intermediate outputs (multi-input rows gather from it), exactly
+the dataflow of the reference's Model.forward (yolo.py:186-201) -- but traced once under
+jit into a static XLA graph, so there is no per-layer Python dispatch at run time.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mafyolo_tpu.models import blocks as B
+from mafyolo_tpu.models.zoo import MODEL_ZOO
+
+
+def make_divisible(x: float, divisor: int) -> int:
+    """Round channel count up to a multiple of divisor (yolo.py:220-222)."""
+    return int(math.ceil(x / divisor) * divisor)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    idx: int
+    frm: Tuple[int, ...]      # absolute source layer indices; (-1,) means previous
+    kind: str
+    kwargs: Tuple[Tuple[str, Any], ...]   # hashable kwargs for the block constructor
+    cout: int
+
+    @property
+    def kw(self) -> Dict[str, Any]:
+        return dict(self.kwargs)
+
+
+def _norm_kind(m: str) -> str:
+    m = m.strip()
+    return {"nn.Upsample": "Upsample"}.get(m, m)
+
+
+def parse_graph(graph: dict, nc: int, ch_in: int = 3):
+    """Parse a model-graph dict -> (layer specs, save set, head indices).
+
+    Returns:
+      specs: tuple[LayerSpec], one per row of backbone+neck+effidehead.
+      save: frozenset of layer indices whose outputs later rows consume.
+      out_frm: indices collected by the trailing Out row (the per-level head outputs).
+    """
+    gd, gw = graph["depth_multiple"], graph["width_multiple"]
+    rows = list(graph["backbone"]) + list(graph["neck"]) + list(graph["effidehead"])
+    ch: list = []          # ch[j] = out channels of layer j
+    specs = []
+    save = set()
+    out_frm: Tuple[int, ...] = ()
+
+    def cin_of(f: int, i: int) -> int:
+        return ch_in if i == 0 else ch[f]
+
+    for i, (f, n, m, args) in enumerate(rows):
+        kind = _norm_kind(m)
+        n = max(round(n * gd), 1) if n > 1 else n
+        frm = tuple(f) if isinstance(f, (list, tuple)) else (f,)
+        kw: Dict[str, Any] = {}
+
+        if kind == "RepVGGBlock":
+            c1 = cin_of(frm[0], i)
+            c2 = make_divisible(args[0] * gw, 4)
+            kw = dict(cin=c1, cout=c2, stride=args[2] if len(args) > 2 else 1)
+        elif kind in ("Conv", "SimConv"):
+            c1 = cin_of(frm[0], i)
+            c2 = make_divisible(args[0] * gw, 4)
+            kw = dict(cout=c2, k=args[1] if len(args) > 1 else 1,
+                      stride=args[2] if len(args) > 2 else 1)
+        elif kind == "SPPF":
+            c1 = cin_of(frm[0], i)
+            c2 = make_divisible(args[0] * gw, 4)
+            kw = dict(cin=c1, cout=c2, k=args[1] if len(args) > 1 else 5)
+        elif kind == "RepHDW":
+            c1 = cin_of(frm[0], i)
+            c2 = int(args[0])
+            kw = dict(cin=c1, cout=c2, depth=n, shortcut=bool(args[1]),
+                      expansion=float(args[2]), kersize=int(args[3]),
+                      depth_expansion=float(args[4]) if len(args) > 4 else 1.0)
+            n = 1
+        elif kind == "MPRep":
+            c1 = cin_of(frm[0], i)
+            c2 = make_divisible(args[0] * gw, 8)
+            kw = dict(cin=c1, cout=c2)
+        elif kind == "ConvWrapper":
+            c1 = cin_of(frm[0], i)
+            c2 = int(args[0])
+            kw = dict(cout=c2, k=args[1] if len(args) > 1 else 3,
+                      stride=args[2] if len(args) > 2 else 1)
+        elif kind == "Upsample":
+            c2 = cin_of(frm[0], i)
+        elif kind == "Concat":
+            c2 = sum(ch[x] for x in frm)
+        elif kind == "Head_DepthUni":
+            c1 = cin_of(frm[0], i)
+            c2 = make_divisible(args[0] * gw, 8)
+            kw = dict(cin=c1, cout=c2, reg_max=int(args[1]), kersize=int(args[2]), nc=nc)
+        elif kind == "Out":
+            out_frm = tuple(x % i for x in frm)
+            c2 = ch[-1]
+        else:
+            raise NotImplementedError(f"graph module {kind!r} not supported")
+
+        if n > 1:
+            raise NotImplementedError(f"repeats>1 for {kind} rows is not used by MAF graphs")
+
+        specs.append(LayerSpec(idx=i, frm=frm, kind=kind,
+                               kwargs=tuple(sorted(kw.items())), cout=int(c2)))
+        save.update(x % i for x in frm if x != -1)
+        ch.append(int(c2))
+
+    return tuple(specs), frozenset(save), out_frm
+
+
+def graph_from_yaml(path: str) -> dict:
+    """Accept reference-format yaml graphs (configs/yaml/MAF-YOLO-*.yaml)."""
+    import yaml
+    with open(path, encoding="ascii", errors="ignore") as fh:
+        return yaml.safe_load(fh)
+
+
+_BLOCK_CTORS = {
+    "RepVGGBlock": B.RepVGGBlock,
+    "RepHDW": B.RepHDW,
+    "MPRep": B.MPRep,
+    "SPPF": B.SPPF,
+    "Conv": B.Conv,
+    "SimConv": B.SimConv,
+    "ConvWrapper": B.ConvWrapper,
+    "Head_DepthUni": B.Head_DepthUni,
+}
+
+
+class GraphNet(nn.Module):
+    """Executes a parsed layer graph; returns what the trailing Out row collects."""
+    specs: Tuple[LayerSpec, ...]
+    save: frozenset
+    out_frm: Tuple[int, ...]
+    deploy: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y: Dict[int, Any] = {}
+        for spec in self.specs:
+            if spec.kind == "Out":
+                return [y[j] for j in self.out_frm]
+            if spec.frm != (-1,):
+                inp = [x if j == -1 else y[j if j >= 0 else spec.idx + j]
+                       for j in spec.frm]
+                if len(inp) == 1:
+                    inp = inp[0]
+            else:
+                inp = x
+            if spec.kind == "Upsample":
+                x = B.Upsample2x(dtype=self.dtype, name=f"layer{spec.idx}")(inp, train)
+            elif spec.kind == "Concat":
+                x = B.Concat(dtype=self.dtype, name=f"layer{spec.idx}")(inp, train)
+            else:
+                ctor = _BLOCK_CTORS[spec.kind]
+                x = ctor(deploy=self.deploy, dtype=self.dtype,
+                         name=f"layer{spec.idx}", **spec.kw)(inp, train)
+            if spec.idx in self.save:
+                y[spec.idx] = x
+        raise ValueError("graph has no Out row")
+
+
+class MAFYolo(nn.Module):
+    """Full detector: graph (backbone+MAFPN+heads). Output = per-level (feat, cls, reg).
+
+    cls is sigmoid class scores [B,H,W,nc]; reg is the raw DFL distribution
+    [B,H,W,4*(reg_max+1)]. Training flattening and eval decode live in
+    mafyolo_tpu/models/detect.py (mirrors Detect_yaml, yolo.py:301-396).
+    """
+    specs: Tuple[LayerSpec, ...]
+    save: frozenset
+    out_frm: Tuple[int, ...]
+    nc: int = 80
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+    deploy: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return GraphNet(self.specs, self.save, self.out_frm, deploy=self.deploy,
+                        dtype=self.dtype, name="net")(x, train)
+
+
+def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
+                strides: Tuple[int, ...] = (8, 16, 32), deploy: bool = False,
+                dtype: Any = jnp.float32) -> MAFYolo:
+    """Build a MAFYolo from a zoo name, a graph dict, or a reference-format yaml path."""
+    if isinstance(graph, str):
+        if graph in MODEL_ZOO:
+            graph = MODEL_ZOO[graph]
+        elif graph.lower() in MODEL_ZOO:
+            graph = MODEL_ZOO[graph.lower()]
+        else:
+            graph = graph_from_yaml(graph)
+    specs, save, out_frm = parse_graph(graph, nc=nc)
+    return MAFYolo(specs=specs, save=save, out_frm=out_frm, nc=nc, reg_max=reg_max,
+                   strides=strides, deploy=deploy, dtype=dtype)
