@@ -68,6 +68,12 @@ def dedup_topk_mask(topk_idx, topk_valid, n: int):
     is dropped entirely. Implemented as a scatter-add histogram.
     """
     idx = jnp.where(topk_valid, topk_idx, 0)
-    counts = jnp.zeros((*idx.shape[:-1], n), dtype=jnp.int32)
-    counts = counts.at[(*jnp.indices(idx.shape[:-1], sparse=True), idx)].add(1)
+    prefix = idx.shape[:-1]
+    counts = jnp.zeros((*prefix, n), dtype=jnp.int32)
+    lead = []
+    for d, size in enumerate(prefix):
+        shape = [1] * (len(prefix) + 1)
+        shape[d] = size
+        lead.append(jnp.arange(size).reshape(shape))
+    counts = counts.at[(*lead, idx)].add(1)
     return jnp.where(counts > 1, 0, counts).astype(jnp.float32)

@@ -1,0 +1,131 @@
+"""Main detection loss: VarifocalLoss + IoU + DFL with ATSS->TAL assignment.
+
+Parity target: yolov6/models/loss.py:15-267 (ComputeLoss, VarifocalLoss, BboxLoss).
+Differences by design (TPU-first):
+  * targets arrive as a fixed-shape padded tensor [B, Nmax, 5] (cls, xywh normalized,
+    padded rows cls=-1 & zeros) built by the data loader -- replaces the host-side
+    numpy scatter loop (loss.py:179-187).
+  * masked_select -> full-shape masked reductions (identical sums, static shapes).
+  * the assigner runs jitted on device; the CUDA-OOM CPU fallback (loss.py:102-149)
+    has no analog and is not needed.
+  * target_scores_sum==0 (an all-background batch) divides by 1 instead of producing
+    inf; otherwise identical.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mafyolo_tpu.assigners import atss_assign, tal_assign
+from mafyolo_tpu.models.detect import (bbox2dist, dfl_decode, dist2bbox,
+                                       generate_anchors_train)
+from mafyolo_tpu.ops.boxes import iou_loss, xywh2xyxy
+
+
+def varifocal_loss(pred_score, gt_score, label, alpha: float = 0.75,
+                   gamma: float = 2.0):
+    """sum( BCE(p, q) * (alpha * p^gamma * (1-y) + q * y) ) in fp32 (loss.py:196-206)."""
+    p = pred_score.astype(jnp.float32)
+    q = gt_score.astype(jnp.float32)
+    y = label.astype(jnp.float32)
+    weight = alpha * jnp.power(p, gamma) * (1.0 - y) + q * y
+    # torch F.binary_cross_entropy clamps log terms at -100
+    bce = -(q * jnp.maximum(jnp.log(jnp.maximum(p, 1e-45)), -100.0)
+            + (1.0 - q) * jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 1e-45)), -100.0))
+    return (bce * weight).sum()
+
+
+def _df_loss(pred_dist, target):
+    """Distribution-focal cross-entropy on ltrb bins (loss.py:256-267).
+
+    pred_dist [..., 4, reg_max+1] logits; target [..., 4] float in [0, reg_max).
+    Returns [..., 1] (mean over the 4 coords).
+    """
+    tl = target.astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(jnp.float32) - target
+    wr = 1.0 - wl
+    logz = jax.nn.logsumexp(pred_dist, axis=-1)
+    ce_l = logz - jnp.take_along_axis(pred_dist, tl[..., None], axis=-1).squeeze(-1)
+    ce_r = logz - jnp.take_along_axis(pred_dist, tr[..., None], axis=-1).squeeze(-1)
+    return (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
+
+
+def detection_loss(
+    head_outs: Sequence[Tuple],
+    targets,                      # [B, Nmax, 5]: (cls, cx, cy, w, h) normalized; pad cls=-1
+    *,
+    use_atss: bool,               # epoch < warmup_epoch (loss.py:83)
+    num_classes: int,
+    img_size: int = 640,
+    strides: Sequence[int] = (8, 16, 32),
+    reg_max: int = 16,
+    use_dfl: bool = True,
+    iou_type: str = "giou",
+    loss_weight: Dict[str, float] = None,
+):
+    """-> (total_loss, dict(iou=, dfl=, cls=)) all scalars, fp32."""
+    from mafyolo_tpu.models.detect import flatten_train_outputs
+    loss_weight = loss_weight or {"class": 1.0, "iou": 2.5, "dfl": 0.5}
+
+    hw_list, pred_scores, pred_distri = flatten_train_outputs(head_outs)
+    pred_scores = pred_scores.astype(jnp.float32)
+    pred_distri = pred_distri.astype(jnp.float32)
+    anchors, anchor_points, n_anchors_list, stride_tensor = generate_anchors_train(
+        hw_list, strides)
+
+    # targets -> image scale xyxy (loss.py:73-76,179-187)
+    gt_labels = targets[..., :1]
+    gt_bboxes = xywh2xyxy(targets[..., 1:] * img_size)
+    mask_gt = (gt_bboxes.sum(-1, keepdims=True) > 0).astype(jnp.float32)
+    gt_bboxes = gt_bboxes * mask_gt
+
+    # decode predicted boxes in grid units (loss.py:79-80,189-193)
+    anchor_points_s = anchor_points / stride_tensor
+    ltrb = dfl_decode(pred_distri, reg_max) if use_dfl else pred_distri
+    pred_bboxes = dist2bbox(ltrb, anchor_points_s)  # xyxy, grid units
+
+    det_bboxes = jax.lax.stop_gradient(pred_bboxes) * stride_tensor
+    if use_atss:
+        target_labels, target_bboxes, target_scores, fg_mask = atss_assign(
+            anchors, tuple(n_anchors_list), gt_labels, gt_bboxes, mask_gt,
+            det_bboxes, topk=9, num_classes=num_classes)
+    else:
+        target_labels, target_bboxes, target_scores, fg_mask = tal_assign(
+            jax.lax.stop_gradient(pred_scores), det_bboxes, anchor_points,
+            gt_labels, gt_bboxes, mask_gt, topk=13, num_classes=num_classes)
+
+    target_bboxes = target_bboxes / stride_tensor           # loss.py:156
+    fg = fg_mask.astype(jnp.float32)
+
+    # classification: VFL (loss.py:158-164)
+    labels_bg = jnp.where(fg_mask, target_labels, num_classes)
+    one_hot = jax.nn.one_hot(labels_bg, num_classes + 1)[..., :-1]
+    loss_cls = varifocal_loss(pred_scores, target_scores, one_hot)
+    tss = target_scores.sum()
+    denom = jnp.where(tss > 0, tss, 1.0)
+    loss_cls = loss_cls / denom
+
+    # box losses, masked full-shape (BboxLoss, loss.py:217-254)
+    bbox_weight = (target_scores.sum(-1) * fg)              # [B,A]
+    per_anchor_iou = iou_loss(pred_bboxes, target_bboxes, iou_type=iou_type,
+                              eps=1e-10)                    # [B,A]
+    loss_iou = (per_anchor_iou * bbox_weight).sum() / denom
+
+    if use_dfl:
+        b, a, _ = pred_distri.shape
+        dist_logits = pred_distri.reshape(b, a, 4, reg_max + 1)
+        target_ltrb = bbox2dist(anchor_points_s, target_bboxes, reg_max)
+        per_anchor_dfl = _df_loss(dist_logits, target_ltrb).squeeze(-1)  # [B,A]
+        loss_dfl = (per_anchor_dfl * bbox_weight).sum() / denom
+    else:
+        loss_dfl = jnp.zeros(())
+
+    total = (loss_weight["class"] * loss_cls + loss_weight["iou"] * loss_iou
+             + loss_weight["dfl"] * loss_dfl)
+    comps = {"iou": loss_weight["iou"] * loss_iou,
+             "dfl": loss_weight["dfl"] * loss_dfl,
+             "cls": loss_weight["class"] * loss_cls}
+    return total, comps
