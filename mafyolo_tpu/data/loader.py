@@ -1,0 +1,118 @@
+"""Batching data loader with worker threads and fixed-shape collation.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(yolov6/data/data_load.py:14-114) with a host-side prefetching loader tailored for
+TPU feeding:
+  * images collate to one NHWC uint8 array (normalization to float happens on device
+    so the host->HBM transfer is 1 byte/px);
+  * labels collate to a fixed [B, max_labels, 5] pad (cls=-1 marks padding), the
+    static-shape contract of detection_loss -- replacing the reference's ragged
+    concat-with-batch-index collate (datasets.py:303-309);
+  * per-process sharding for multi-host: pass (shard_id, num_shards) and each
+    process iterates its slice of the epoch permutation (DistributedSampler analog);
+  * cv2 work runs in a thread pool (cv2/numpy release the GIL).
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from mafyolo_tpu.data.datasets import DetectionDataset
+from mafyolo_tpu.utils.events import LOGGER
+
+
+class DataLoader:
+    def __init__(self, dataset: DetectionDataset, batch_size: int, shuffle: bool,
+                 workers: int = 8, seed: int = 0, max_labels: int = 120,
+                 drop_last: bool = False, shard_id: int = 0, num_shards: int = 1,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.workers = max(1, workers)
+        self.seed = seed
+        self.max_labels = max_labels
+        self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.prefetch = prefetch
+        self.epoch = 0
+        self._truncated = 0
+
+    def set_epoch(self, epoch: int):
+        """Reshuffle control (DistributedSampler.set_epoch analog, engine.py:344-345)."""
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.num_shards
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _collate(self, samples):
+        imgs = np.stack([s[0] for s in samples])
+        labels = np.full((len(samples), self.max_labels, 5), 0, np.float32)
+        labels[:, :, 0] = -1.0
+        for i, (_, lb, _) in enumerate(samples):
+            n = len(lb)
+            if n > self.max_labels:
+                self._truncated += n - self.max_labels
+                lb = lb[: self.max_labels]
+                n = self.max_labels
+            if n:
+                labels[i, :n] = lb
+        shapes = [s[2] for s in samples]
+        return imgs, labels, shapes
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + 1000003 * self.epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        order = order[self.shard_id::self.num_shards]
+        nb = len(order) // self.batch_size if self.drop_last \
+            else -(-len(order) // self.batch_size)
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        def fetch(pair):
+            idx, epoch = pair
+            rng = np.random.default_rng(
+                (self.seed, epoch, int(idx), 0x9E3779B9))
+            return self.dataset.get_sample(int(idx), rng)
+
+        with ThreadPoolExecutor(self.workers) as pool:
+            pending = []
+            bi = 0
+
+            def submit(b):
+                return [pool.submit(fetch, (i, self.epoch)) for i in b]
+
+            while bi < len(batches) or pending:
+                while bi < len(batches) and len(pending) <= self.prefetch:
+                    pending.append(submit(batches[bi]))
+                    bi += 1
+                futs = pending.pop(0)
+                yield self._collate([f.result() for f in futs])
+
+        if self._truncated:
+            LOGGER.warning(
+                f"loader truncated {self._truncated} labels beyond max_labels="
+                f"{self.max_labels} this epoch")
+            self._truncated = 0
+
+
+def create_dataloader(path, img_size, batch_size, stride=32, hyp=None, augment=False,
+                      rect=False, pad=0.0, workers=8, shuffle=False, seed=0,
+                      class_names=None, max_labels=120, shard_id=0, num_shards=1,
+                      task="train"):
+    """Dataset + loader in one call (data_load.py:14-114 analog)."""
+    dataset = DetectionDataset(
+        path, img_size=img_size, augment=augment, hyp=hyp, rect=rect,
+        batch_size=batch_size, stride=stride, pad=pad, class_names=class_names,
+        task=task)
+    loader = DataLoader(dataset, batch_size=batch_size, shuffle=shuffle,
+                        workers=workers, seed=seed, max_labels=max_labels,
+                        drop_last=augment, shard_id=shard_id, num_shards=num_shards)
+    return loader, dataset
