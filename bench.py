@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Benchmark: MAF-YOLO-N deploy-form inference throughput at 640px.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = fraction of the bf16 MXU roofline (peak_flops / model_flops), the
+honest ceiling given no published latency numbers for the reference (BASELINE.md).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MODEL_GFLOPS_640 = 10.5       # reference README.md:24 (MAF-YOLO-N @640)
+PEAK_TFLOPS = {"tpu": 197.0, "cpu": 0.5}   # v5e bf16 peak; cpu nominal
+
+
+def main():
+    from mafyolo_tpu.models import build_model
+    from mafyolo_tpu.models.detect import decode_eval
+    from mafyolo_tpu.models.reparam import fold_variables
+    from mafyolo_tpu.ops.nms import batched_nms
+
+    backend = jax.default_backend()
+    on_accel = backend != "cpu"
+    dtype = jnp.bfloat16 if on_accel else jnp.float32
+    batch = 32 if on_accel else 2
+    iters = 20 if on_accel else 2
+
+    train_model = build_model("maf-yolo-n", nc=80)
+    variables = train_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)), train=False)
+    folded = jax.device_put(fold_variables(train_model.specs, variables))
+    model = build_model("maf-yolo-n", nc=80, deploy=True, dtype=dtype)
+
+    @jax.jit
+    def predict(imgs_u8):
+        x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
+        outs = model.apply(folded, x, train=False)
+        pred = decode_eval(outs, strides=model.strides, reg_max=model.reg_max)
+        return batched_nms(pred, conf_thres=0.03, iou_thres=0.65, max_det=300)
+
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (batch, 640, 640, 3), dtype=np.uint8))
+    jax.block_until_ready(predict(imgs))          # compile + warmup
+    jax.block_until_ready(predict(imgs))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = predict(imgs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+
+    peak = PEAK_TFLOPS.get(backend, 100.0) * 1e12
+    roofline_ips = peak / (MODEL_GFLOPS_640 * 1e9)
+    print(json.dumps({
+        "metric": "mafyolo_n_infer_images_per_sec_640",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / roofline_ips, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+# MAF-YOLO-M experiment config (artifact-compatible with the reference's
+# configs/MAF-YOLO-n.py: same sections, same hyperparameters).
+model = dict(
+    type="MAF-YOLO-M",
+    pretrained=None,
+    graph="maf-yolo-m",          # zoo name or a reference-format yaml path
+    head=dict(
+        type="EffiDeHead",
+        num_layers=3,
+        anchors=1,
+        strides=[8, 16, 32],
+        iou_type="giou",
+        use_dfl=True,
+        reg_max=16,
+        atss_warmup_epoch=3,
+    ),
+)
+solver = dict(
+    optim="SGD",
+    lr_scheduler="linear",
+    lr0=0.01,
+    lrf=0.01,
+    momentum=0.937,
+    weight_decay=0.0005,
+    warmup_epochs=3.0,
+    warmup_momentum=0.8,
+    warmup_bias_lr=0.1,
+)
+data_aug = dict(
+    hsv_h=0.015,
+    hsv_s=0.7,
+    hsv_v=0.4,
+    degrees=0.0,
+    translate=0.1,
+    scale=0.5,
+    shear=0.0,
+    flipud=0.0,
+    fliplr=0.5,
+    mosaic=1.0,
+    mixup=0.0,
+    dy_label=5,
+    dy_mixup=0.2,
+    mask_refine=True,
+    copy_paste=0.05,
+)

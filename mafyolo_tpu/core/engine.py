@@ -1,0 +1,230 @@
+"""Trainer state machine (parity target: yolov6/core/engine.py:31-615).
+
+Orchestrates: loader build, model+state init, resume, the jitted train step with
+warmup/accumulation schedule, mosaic shutoff near the end (engine.py:331-336),
+per-epoch EMA eval + checkpointing with best tracking (engine.py:169-237).
+
+Data parallelism: mesh-sharded batches into one jit step (see parallel/mesh.py);
+per-host loader sharding replaces DistributedSampler.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mafyolo_tpu.core.evaler import run_eval
+from mafyolo_tpu.core.train_state import init_train_state, make_train_step
+from mafyolo_tpu.data import create_dataloader
+from mafyolo_tpu.models import build_model
+from mafyolo_tpu.parallel.mesh import data_sharding, is_main_process, make_mesh
+from mafyolo_tpu.solver.build import build_lr_fn, warmup_schedule
+from mafyolo_tpu.utils.checkpoint import (find_latest_checkpoint, load_checkpoint,
+                                          load_shape_matched, save_checkpoint)
+from mafyolo_tpu.utils.events import LOGGER
+
+
+class Trainer:
+    def __init__(self, args, cfg, data_dict: Dict, mesh=None):
+        self.args = args
+        self.cfg = cfg
+        self.data_dict = data_dict
+        self.img_size = args.img_size
+        self.batch_size = args.batch_size          # global batch
+        self.epochs = args.epochs
+        self.nc = int(data_dict["nc"])
+        self.save_dir = args.save_dir
+        os.makedirs(self.save_dir, exist_ok=True)
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.world_size = self.mesh.devices.size * max(1, jax.process_count())
+        if self.batch_size % self.mesh.devices.size:
+            raise ValueError("global batch size must divide the device count")
+
+        self.graph = getattr(cfg.model, "graph", None) or cfg.model.get(
+            "yaml_file", "maf-yolo-n")
+        dtype = jnp.bfloat16 if getattr(args, "bf16", True) and \
+            jax.default_backend() != "cpu" else jnp.float32
+        self.model = build_model(self.graph, nc=self.nc,
+                                 reg_max=cfg.model.head.reg_max,
+                                 strides=tuple(cfg.model.head.strides), dtype=dtype)
+
+        # solver scaling rules (engine.py:491-496)
+        solver = cfg.solver
+        accumulate = max(1, round(64 / self.batch_size))
+        self.weight_decay = solver.weight_decay * self.batch_size * accumulate / 64
+        self.lr0 = solver.lr0 * self.batch_size / (self.world_size * 32)
+        self.lf = build_lr_fn(solver.lr_scheduler, solver.lrf, self.epochs)
+
+        # data
+        hyp = dict(cfg.data_aug)
+        self.train_loader, self.train_dataset = create_dataloader(
+            data_dict["train"], self.img_size, self.batch_size, stride=32, hyp=hyp,
+            augment=True, workers=args.workers, shuffle=True, seed=args.seed,
+            max_labels=getattr(args, "max_labels", 120),
+            shard_id=jax.process_index(), num_shards=max(1, jax.process_count()))
+        self.max_stepnum = len(self.train_loader)
+        self.warmup_stepnum = max(
+            round(solver.warmup_epochs * self.max_stepnum), 1000) \
+            if solver.warmup_epochs else 0
+
+        # state
+        state = init_train_state(self.model, jax.random.PRNGKey(args.seed),
+                                 self.img_size)
+        if getattr(args, "pretrained", None):
+            ckpt = load_checkpoint(args.pretrained)
+            state["params"] = load_shape_matched(state["params"],
+                                                 ckpt["model"]["params"])
+            state["ema"]["params"] = jax.tree.map(lambda a: np.array(a),
+                                                  state["params"])
+        self.start_epoch = 0
+        if getattr(args, "resume", None):
+            path = args.resume if isinstance(args.resume, str) else \
+                find_latest_checkpoint(self.save_dir)
+            if path:
+                ckpt = load_checkpoint(path)
+                state["params"] = ckpt["model"]["params"]
+                state["batch_stats"] = ckpt["model"]["batch_stats"]
+                if ckpt.get("ema"):
+                    state["ema"] = ckpt["ema"]
+                if ckpt.get("opt") is not None:
+                    state["mom"] = ckpt["opt"]
+                state["updates"] = jnp.asarray(ckpt.get("updates", 0), jnp.int32)
+                self.start_epoch = int(ckpt.get("epoch", -1)) + 1
+                LOGGER.info(f"resumed from {path} at epoch {self.start_epoch}")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.state = jax.device_put(state, NamedSharding(self.mesh, P()))
+
+        self.train_step = make_train_step(
+            self.model, num_classes=self.nc, img_size=self.img_size,
+            strides=tuple(cfg.model.head.strides), reg_max=cfg.model.head.reg_max,
+            use_dfl=cfg.model.head.use_dfl, iou_type=cfg.model.head.iou_type,
+            weight_decay=self.weight_decay, mesh=self.mesh)
+        self._data_sh = data_sharding(self.mesh)
+
+        self.warmup_epoch_loss = int(getattr(cfg.model.head, "atss_warmup_epoch", 3))
+        self.stop_aug_last_n_epoch = int(getattr(args, "stop_aug_last_n_epoch", 15))
+        self.eval_interval = int(getattr(args, "eval_interval", 20))
+        self.heavy_eval_range = int(getattr(args, "heavy_eval_range", 50))
+        self.best_ap = 0.0
+        self.best_stop_aug_ap = 0.0
+        self.ap = 0.0
+        self.last_opt_step = -1
+
+    # ---------- epoch orchestration ----------
+
+    def train(self):
+        t0 = time.time()
+        try:
+            for epoch in range(self.start_epoch, self.epochs):
+                self.train_one_epoch(epoch)
+                self.eval_and_save(epoch)
+            LOGGER.info(f"training done in {(time.time() - t0) / 3600:.2f}h; "
+                        f"best AP {self.best_ap:.4f}")
+        except Exception:
+            LOGGER.error("training failed")
+            raise
+        return self.best_ap
+
+    def prepare_for_steps(self, epoch: int):
+        """Aug shutoff near the end (engine.py:328-345): rebuild the loader with
+        mosaic/mixup disabled for the last stop_aug_last_n_epoch epochs."""
+        if epoch == self.epochs - self.stop_aug_last_n_epoch:
+            hyp = dict(self.cfg.data_aug)
+            hyp.update(mosaic=0.0, mixup=0.0, dy_mixup=0.0)
+            LOGGER.info("disabling mosaic/mixup for the stop-aug tail")
+            self.train_loader, self.train_dataset = create_dataloader(
+                self.data_dict["train"], self.img_size, self.batch_size, stride=32,
+                hyp=hyp, augment=True, workers=self.args.workers, shuffle=True,
+                seed=self.args.seed,
+                max_labels=getattr(self.args, "max_labels", 120),
+                shard_id=jax.process_index(),
+                num_shards=max(1, jax.process_count()))
+        self.train_loader.set_epoch(epoch)
+
+    def train_one_epoch(self, epoch: int):
+        self.prepare_for_steps(epoch)
+        solver = self.cfg.solver
+        use_atss = epoch < self.warmup_epoch_loss
+        running = None
+        t_start = time.time()
+        n_imgs = 0
+        for step, (imgs, targets, _) in enumerate(self.train_loader):
+            curr_step = step + self.max_stepnum * epoch
+            sched = warmup_schedule(
+                curr_step, self.warmup_stepnum, epoch, self.lf, self.lr0,
+                self.batch_size, solver.warmup_bias_lr, solver.warmup_momentum,
+                solver.momentum)
+            do_apply = (curr_step - self.last_opt_step) >= sched["accumulate"]
+            if do_apply:
+                self.last_opt_step = curr_step
+            imgs_dev = jax.device_put(imgs, self._data_sh)
+            tgt_dev = jax.device_put(targets.astype(np.float32), self._data_sh)
+            self.state, metrics = self.train_step(
+                self.state, imgs_dev, tgt_dev,
+                jnp.float32(sched["lr_bnw"]), jnp.float32(sched["lr_weight"]),
+                jnp.float32(sched["lr_bias"]), jnp.float32(sched["momentum"]),
+                jnp.bool_(do_apply), use_atss)
+            n_imgs += imgs.shape[0]
+            if running is None:
+                running = {k: float(v) for k, v in metrics.items()}
+            else:
+                running = {k: 0.95 * running[k] + 0.05 * float(v)
+                           for k, v in metrics.items()}
+            if step % 50 == 0 and is_main_process():
+                ips = n_imgs / max(time.time() - t_start, 1e-9)
+                LOGGER.info(
+                    f"epoch {epoch} step {step}/{self.max_stepnum} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in running.items())
+                    + f" lr={sched['lr_weight']:.5f} img/s={ips:.1f}")
+        return running
+
+    # ---------- eval + checkpoint ----------
+
+    def _should_eval(self, epoch: int) -> bool:
+        if epoch == self.epochs - 1:
+            return True
+        remaining = self.epochs - 1 - epoch
+        if remaining < self.heavy_eval_range:
+            return (epoch + 1) % max(1, self.eval_interval // 7) == 0
+        return (epoch + 1) % self.eval_interval == 0
+
+    def eval_and_save(self, epoch: int):
+        if not is_main_process():
+            return
+        ckpt = {
+            "model": {"params": self.state["params"],
+                      "batch_stats": self.state["batch_stats"]},
+            "ema": self.state["ema"],
+            "opt": self.state["mom"],
+            "updates": int(self.state["updates"]),
+            "epoch": epoch,
+            "meta": {"graph": self.graph, "nc": self.nc,
+                     "img_size": self.img_size,
+                     "reg_max": int(self.cfg.model.head.reg_max),
+                     "strides": list(self.cfg.model.head.strides)},
+        }
+        if self._should_eval(epoch) and "val" in self.data_dict:
+            metrics = run_eval(
+                self.graph, {"params": self.state["ema"]["params"],
+                             "batch_stats": self.state["ema"]["batch_stats"]},
+                self.nc, self.data_dict, folded=False,
+                img_size=self.img_size,
+                batch_size=min(self.batch_size * 2, 64), task="val",
+                half=jax.default_backend() != "cpu",
+                workers=self.args.workers)
+            self.ap = metrics.get("AP", 0.0)
+        is_best = self.ap > self.best_ap
+        self.best_ap = max(self.ap, self.best_ap)
+        save_checkpoint(ckpt, is_best, self.save_dir, "last_ckpt")
+        if epoch >= self.epochs - self.stop_aug_last_n_epoch:
+            if self.ap > self.best_stop_aug_ap:
+                self.best_stop_aug_ap = self.ap
+                save_checkpoint(ckpt, False, self.save_dir, "best_stop_aug_ckpt")
+        if is_best:
+            LOGGER.info(f"new best AP {self.best_ap:.4f} at epoch {epoch}")

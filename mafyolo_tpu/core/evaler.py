@@ -1,0 +1,204 @@
+"""Eval state machine (parity target: yolov6/core/evaler.py:25-409).
+
+Flow: load checkpoint -> fold every re-param block + fuse conv/BN into the deploy
+model (evaler.py:91-113) -> letterbox loader -> one jitted forward+decode+NMS per
+batch -> host-side coordinate rescale to original image space (scale_coords,
+evaler.py:382-409, incl. the scale_exact variant) -> COCO-format predictions ->
+mAP via the numpy COCO evaluator (pycocotools replacement).
+
+Speed task: pre/infer/nms timing uses block_until_ready fences, the TPU analog of
+the reference's cuda.synchronize time_sync (torch_utils.py:31-35).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mafyolo_tpu.data import create_dataloader
+from mafyolo_tpu.models import build_model
+from mafyolo_tpu.models.detect import decode_eval
+from mafyolo_tpu.models.reparam import fold_variables
+from mafyolo_tpu.ops.nms import batched_nms
+from mafyolo_tpu.utils.coco_eval import COCOEvaluator
+from mafyolo_tpu.utils.events import LOGGER
+
+
+def coco80_to_coco91_class():
+    """COCO paper 80-class index -> annotation 91-class ids (evaler.py analog)."""
+    return [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+            22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42,
+            43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61,
+            62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84,
+            85, 86, 87, 88, 89, 90]
+
+
+class Evaler:
+    def __init__(self, data_dict: Dict, img_size: int = 640, batch_size: int = 32,
+                 conf_thres: float = 0.03, iou_thres: float = 0.65,
+                 max_det: int = 300, task: str = "val", rect: bool = False,
+                 half: bool = True, test_load_size: Optional[int] = None,
+                 letterbox_return_int: bool = False, scale_exact: bool = False,
+                 force_no_pad: bool = False, workers: int = 8, verbose: bool = False):
+        self.data = data_dict
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_det = max_det
+        self.task = task
+        self.rect = rect
+        self.half = half
+        self.test_load_size = test_load_size
+        self.letterbox_return_int = letterbox_return_int
+        self.scale_exact = scale_exact
+        self.force_no_pad = force_no_pad
+        self.workers = workers
+        self.verbose = verbose
+        self.is_coco = bool(data_dict.get("is_coco", False))
+        self.ids = coco80_to_coco91_class() if self.is_coco else list(range(10000))
+        self.speed_result = np.zeros(4)
+
+    # ---------- model ----------
+
+    def init_model(self, graph, variables, nc: int, folded: bool = False):
+        """Build the deploy-form model; fold train-form variables if given
+        (the re-param moment, evaler.py:101-113)."""
+        dtype = jnp.bfloat16 if self.half else jnp.float32
+        model = build_model(graph, nc=nc, deploy=True, dtype=dtype)
+        if not folded:
+            train_model = build_model(graph, nc=nc)
+            variables = fold_variables(train_model.specs, variables)
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self.nc = nc
+
+        @jax.jit
+        def predict(imgs_u8):
+            x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
+            outs = model.apply(self.variables, x, train=False)
+            pred = decode_eval(outs, strides=model.strides, reg_max=model.reg_max)
+            return batched_nms(pred, conf_thres=self.conf_thres,
+                               iou_thres=self.iou_thres, max_det=self.max_det)
+
+        self._predict = predict
+        return model
+
+    # ---------- data ----------
+
+    def init_data(self, class_names=None):
+        task = self.task if self.task in ("train", "val", "test") else "val"
+        pad = 0.0 if (self.task == "speed" or self.force_no_pad) else 0.5
+        hyp = {}
+        if self.test_load_size:
+            hyp["test_load_size"] = self.test_load_size
+        if self.letterbox_return_int:
+            hyp["letterbox_return_int"] = True
+        loader, dataset = create_dataloader(
+            self.data[task], self.img_size, self.batch_size, stride=32, hyp=hyp,
+            augment=False, rect=self.rect, pad=pad, workers=self.workers,
+            shuffle=False, class_names=class_names or self.data.get("names"),
+            task=task)
+        self.dataset = dataset
+        return loader
+
+    # ---------- prediction ----------
+
+    def scale_coords(self, img1_shape, coords, img0_shape, ratio_pad=None):
+        """Letterbox-inverse rescale (evaler.py:382-409) with scale_exact variant."""
+        if ratio_pad is None:
+            gain = [min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])]
+            if self.scale_exact:
+                gain = [img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1]]
+            pad = ((img1_shape[1] - img0_shape[1] * gain[0]) / 2,
+                   (img1_shape[0] - img0_shape[0] * gain[0]) / 2)
+        else:
+            gain = list(np.atleast_1d(ratio_pad[0]))
+            pad = ratio_pad[1]
+        coords[:, [0, 2]] -= pad[0]
+        coords[:, [0, 2]] /= gain[1] if self.scale_exact else gain[0]
+        coords[:, [1, 3]] -= pad[1]
+        coords[:, [1, 3]] /= gain[0]
+        coords[:, [0, 2]] = coords[:, [0, 2]].clip(0, img0_shape[1])
+        coords[:, [1, 3]] = coords[:, [1, 3]].clip(0, img0_shape[0])
+        return coords
+
+    def predict_model(self, loader) -> List[Dict]:
+        """Timed prediction loop -> COCO-format detection dicts (evaler.py:135-273)."""
+        pred_results: List[Dict] = []
+        self.speed_result = np.zeros(4)
+        sample_offset = 0
+        for imgs, _, shapes in loader:
+            n = imgs.shape[0]
+            t0 = time.time()
+            imgs_dev = jax.device_put(imgs)
+            jax.block_until_ready(imgs_dev)
+            t1 = time.time()
+            out = self._predict(imgs_dev)
+            jax.block_until_ready(out)
+            t2 = time.time()
+            boxes = np.asarray(out["boxes"], np.float64)
+            scores = np.asarray(out["scores"], np.float64)
+            classes = np.asarray(out["classes"])
+            valid = np.asarray(out["valid"])
+            for i in range(n):
+                ds_index = sample_offset + i
+                k = int(valid[i].sum())
+                if k:
+                    b = boxes[i, :k].copy()
+                    img_hw = imgs.shape[1:3]
+                    self.scale_coords(img_hw, b, shapes[i][0], shapes[i][1])
+                    image_id = self.dataset.image_id(ds_index)
+                    xywh = np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], -1)
+                    for j in range(k):
+                        pred_results.append(dict(
+                            image_id=image_id,
+                            category_id=self.ids[int(classes[i, j])] if self.is_coco
+                            else int(classes[i, j]),
+                            bbox=[round(float(v), 3) for v in xywh[j]],
+                            score=round(float(scores[i, j]), 5)))
+            sample_offset += n
+            t3 = time.time()
+            self.speed_result += np.array([n, (t1 - t0) * 1e3, (t2 - t1) * 1e3,
+                                           (t3 - t2) * 1e3])
+        return pred_results
+
+    # ---------- metrics ----------
+
+    def eval_model(self, pred_results: List[Dict]) -> Dict[str, float]:
+        gt = self.dataset.coco_gt()
+        if self.is_coco:
+            for c in gt["categories"]:
+                c["id"] = self.ids[c["id"]]
+            for a in gt["annotations"]:
+                a["category_id"] = self.ids[a["category_id"]]
+        if not pred_results:
+            LOGGER.warning("no detections produced; AP = 0")
+            return {k: 0.0 for k in ("AP", "AP50", "AP75", "APs", "APm", "APl")}
+        metrics = COCOEvaluator(gt, pred_results).summarize()
+        LOGGER.info("COCO eval: " + ", ".join(f"{k}={v:.4f}"
+                                              for k, v in metrics.items()))
+        return metrics
+
+    def report_speed(self):
+        n, pre, inf, nms_post = self.speed_result
+        if n:
+            LOGGER.info(f"speed per image: h2d {pre / n:.2f}ms, "
+                        f"infer+nms {inf / n:.2f}ms, post {nms_post / n:.2f}ms")
+        return self.speed_result
+
+
+def run_eval(graph, variables, nc, data_dict, folded=False, **kwargs) -> Dict:
+    """One-call eval used by the Trainer's per-epoch loop and tools/eval.py."""
+    evaler = Evaler(data_dict, **kwargs)
+    loader = evaler.init_data()
+    evaler.init_model(graph, variables, nc, folded=folded)
+    preds = evaler.predict_model(loader)
+    metrics = evaler.eval_model(preds)
+    evaler.report_speed()
+    return metrics

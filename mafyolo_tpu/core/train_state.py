@@ -1,0 +1,111 @@
+"""Training state + the single jitted train step.
+
+Parity target: the Trainer hot loop (yolov6/core/engine.py:141-166, 375-391):
+AMP forward -> loss -> backward (DDP all-reduce) -> accumulate 64/bs -> SGD step +
+EMA. TPU design: ONE jit-compiled function does forward (bf16), loss, grad, gradient
+accumulation, the conditional SGD+EMA apply, and BN running-stat updates; batch
+inputs are sharded over the mesh 'data' axis and XLA emits the ICI all-reduce where
+torch used NCCL. uint8->float normalization happens on device so hosts ship 1 byte
+per pixel (BASELINE.json north-star).
+
+Loss normalization note: the reference normalizes per-rank by the rank-local
+target_scores_sum and multiplies by world_size to undo DDP averaging
+(engine.py:161-162). Under global-batch jit semantics our loss is normalized by the
+global target_scores_sum -- exactly the single-device large-batch semantics, which
+is what DDP approximates.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mafyolo_tpu.models.losses import detection_loss
+from mafyolo_tpu.solver.build import param_groups, sgd_init, sgd_update
+from mafyolo_tpu.utils.ema import ema_update
+
+
+def init_train_state(model, rng, img_size: int, local_batch: int = 1) -> Dict:
+    x = jnp.zeros((1, img_size, img_size, 3), model.dtype)
+    variables = model.init(rng, x, train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    copy = lambda t: jax.tree.map(lambda a: a.copy(), t)  # noqa: E731
+    # EMA gets distinct buffers: the jitted step donates the state, and donating
+    # the same buffer twice is an XLA error.
+    return {
+        "params": params,
+        "batch_stats": stats,
+        "ema": {"params": copy(params), "batch_stats": copy(stats)},
+        "mom": sgd_init(params),
+        "grad_acc": sgd_init(params),
+        "updates": jnp.zeros((), jnp.int32),
+    }
+
+
+def make_train_step(model, *, num_classes: int, img_size: int,
+                    strides: Sequence[int] = (8, 16, 32), reg_max: int = 16,
+                    use_dfl: bool = True, iou_type: str = "giou",
+                    weight_decay: float = 5e-4, ema_decay: float = 0.9999,
+                    loss_weight=None, mesh=None):
+    """Returns step(state, imgs_u8, targets, lr_bnw, lr_w, lr_b, momentum,
+    do_apply, use_atss) -> (state, metrics)."""
+    groups_template: Dict[str, Any] = {}
+
+    def step(state, imgs_u8, targets, lr_bnw, lr_w, lr_b, momentum, do_apply,
+             use_atss):
+        # BGR uint8 -> RGB float in [0,1] on device (engine.py prepro_data /255)
+        imgs = (imgs_u8[..., ::-1].astype(model.dtype) / jnp.asarray(255.0, model.dtype))
+
+        def loss_fn(params):
+            outs, mut = model.apply(
+                {"params": params, "batch_stats": state["batch_stats"]},
+                imgs, train=True, mutable=["batch_stats"])
+            total, comps = detection_loss(
+                outs, targets, use_atss=use_atss, num_classes=num_classes,
+                img_size=img_size, strides=strides, reg_max=reg_max,
+                use_dfl=use_dfl, iou_type=iou_type, loss_weight=loss_weight)
+            return total, (comps, mut["batch_stats"])
+
+        (loss, (comps, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        grad_acc = jax.tree.map(jnp.add, state["grad_acc"], grads)
+        groups = param_groups(state["params"])
+
+        def apply_fn(op):
+            params, mom, grad_acc, ema, updates = op
+            new_params, new_mom = sgd_update(
+                params, grad_acc, mom, groups, (lr_bnw, lr_w, lr_b), momentum,
+                weight_decay)
+            new_updates = updates + 1
+            new_ema = ema_update(
+                ema, {"params": new_params, "batch_stats": new_stats},
+                new_updates, ema_decay)
+            zero = jax.tree.map(jnp.zeros_like, grad_acc)
+            return new_params, new_mom, zero, new_ema, new_updates
+
+        def keep_fn(op):
+            return op
+
+        params, mom, grad_acc, ema, updates = jax.lax.cond(
+            do_apply, apply_fn, keep_fn,
+            (state["params"], state["mom"], grad_acc, state["ema"],
+             state["updates"]))
+        new_state = {"params": params, "batch_stats": new_stats, "ema": ema,
+                     "mom": mom, "grad_acc": grad_acc, "updates": updates}
+        metrics = {"loss": loss, **comps}
+        return new_state, metrics
+
+    jit_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        jit_kwargs = dict(
+            in_shardings=(repl, data, data, repl, repl, repl, repl, repl),
+            out_shardings=(repl, repl),
+        )
+    return jax.jit(step, static_argnames=("use_atss",), donate_argnums=(0,),
+                   **jit_kwargs)

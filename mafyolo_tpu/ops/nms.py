@@ -87,10 +87,13 @@ def batched_nms(prediction, conf_thres: float = 0.03, iou_thres: float = 0.65,
             cand_cls = jnp.broadcast_to(jnp.arange(nc)[:, None],
                                         (nc, pre_topk)).reshape(-1)
 
-        top_scores, top_idx = lax.top_k(cand_scores, max_det)
-        return dict(boxes=cand_boxes[top_idx],
-                    scores=top_scores,
-                    classes=cand_cls[top_idx].astype(jnp.int32),
-                    valid=top_scores > 0)
+        k = min(max_det, cand_scores.shape[0])
+        top_scores, top_idx = lax.top_k(cand_scores, k)
+        pad = max_det - k
+        boxes_out = jnp.pad(cand_boxes[top_idx], ((0, pad), (0, 0)))
+        return dict(boxes=boxes_out,
+                    scores=jnp.pad(top_scores, (0, pad)),
+                    classes=jnp.pad(cand_cls[top_idx].astype(jnp.int32), (0, pad)),
+                    valid=jnp.pad(top_scores > 0, (0, pad)))
 
     return jax.vmap(single)(prediction)

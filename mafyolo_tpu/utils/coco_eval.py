@@ -73,7 +73,8 @@ class COCOEvaluator:
             return None
         g_ignore_raw = np.array([
             bool(g.get("ignore", 0)) or bool(g.get("iscrowd", 0))
-            or g["area"] < area_rng[0] or g["area"] > area_rng[1] for g in gts_raw])
+            or g["area"] < area_rng[0] or g["area"] > area_rng[1]
+            for g in gts_raw], dtype=bool)
         # sort gts: non-ignored first (stable)
         g_order = np.argsort(g_ignore_raw, kind="stable")
         gts = [gts_raw[i] for i in g_order]
