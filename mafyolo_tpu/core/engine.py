@@ -100,11 +100,13 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
         self.state = jax.device_put(state, NamedSharding(self.mesh, P()))
 
+        loss_type = "simota" if (getattr(args, "simota", False)
+                                 or cfg.model.get("target") == "SimOTA") else "tal"
         self.train_step = make_train_step(
             self.model, num_classes=self.nc, img_size=self.img_size,
             strides=tuple(cfg.model.head.strides), reg_max=cfg.model.head.reg_max,
             use_dfl=cfg.model.head.use_dfl, iou_type=cfg.model.head.iou_type,
-            weight_decay=self.weight_decay, mesh=self.mesh)
+            weight_decay=self.weight_decay, mesh=self.mesh, loss_type=loss_type)
         self._data_sh = data_sharding(self.mesh)
 
         self.warmup_epoch_loss = int(getattr(cfg.model.head, "atss_warmup_epoch", 3))
@@ -115,6 +117,17 @@ class Trainer:
         self.best_stop_aug_ap = 0.0
         self.ap = 0.0
         self.last_opt_step = -1
+        self.tb = None
+        if is_main_process() and getattr(args, "tensorboard", True):
+            try:
+                from torch.utils.tensorboard import SummaryWriter  # noqa
+                self.tb = SummaryWriter(self.save_dir)
+            except Exception:
+                try:
+                    from tensorboardX import SummaryWriter
+                    self.tb = SummaryWriter(self.save_dir)
+                except Exception:
+                    LOGGER.info("tensorboard writer unavailable; skipping")
 
     # ---------- epoch orchestration ----------
 
@@ -182,6 +195,12 @@ class Trainer:
                     f"epoch {epoch} step {step}/{self.max_stepnum} "
                     + " ".join(f"{k}={v:.4f}" for k, v in running.items())
                     + f" lr={sched['lr_weight']:.5f} img/s={ips:.1f}")
+        if self.tb and running:
+            for k, v in running.items():
+                self.tb.add_scalar(f"train/{k}", v, epoch)
+            self.tb.add_scalar("train/lr", sched["lr_weight"], epoch)
+            self.tb.add_scalar("train/images_per_sec",
+                               n_imgs / max(time.time() - t_start, 1e-9), epoch)
         return running
 
     # ---------- eval + checkpoint ----------
@@ -197,6 +216,15 @@ class Trainer:
     def eval_and_save(self, epoch: int):
         if not is_main_process():
             return
+        do_eval = self._should_eval(epoch) and "val" in self.data_dict
+        # pulling ~100MB of state off a tunneled chip is expensive; only
+        # materialize a checkpoint when we will actually write one
+        save_interval = int(getattr(self.args, "save_interval", 1))
+        will_save = (do_eval or epoch % max(1, save_interval) == 0
+                     or epoch >= self.epochs - self.stop_aug_last_n_epoch
+                     or epoch == self.epochs - 1)
+        if not will_save:
+            return
         ckpt = {
             "model": {"params": self.state["params"],
                       "batch_stats": self.state["batch_stats"]},
@@ -209,7 +237,7 @@ class Trainer:
                      "reg_max": int(self.cfg.model.head.reg_max),
                      "strides": list(self.cfg.model.head.strides)},
         }
-        if self._should_eval(epoch) and "val" in self.data_dict:
+        if do_eval:
             metrics = run_eval(
                 self.graph, {"params": self.state["ema"]["params"],
                              "batch_stats": self.state["ema"]["batch_stats"]},
@@ -219,6 +247,9 @@ class Trainer:
                 half=jax.default_backend() != "cpu",
                 workers=self.args.workers)
             self.ap = metrics.get("AP", 0.0)
+            if self.tb:
+                for k, v in metrics.items():
+                    self.tb.add_scalar(f"val/{k}", v, epoch)
         is_best = self.ap > self.best_ap
         self.best_ap = max(self.ap, self.best_ap)
         save_checkpoint(ckpt, is_best, self.save_dir, "last_ckpt")

@@ -49,7 +49,7 @@ def make_train_step(model, *, num_classes: int, img_size: int,
                     strides: Sequence[int] = (8, 16, 32), reg_max: int = 16,
                     use_dfl: bool = True, iou_type: str = "giou",
                     weight_decay: float = 5e-4, ema_decay: float = 0.9999,
-                    loss_weight=None, mesh=None):
+                    loss_weight=None, mesh=None, loss_type: str = "tal"):
     """Returns step(state, imgs_u8, targets, lr_bnw, lr_w, lr_b, momentum,
     do_apply, use_atss) -> (state, metrics)."""
     groups_template: Dict[str, Any] = {}
@@ -63,10 +63,16 @@ def make_train_step(model, *, num_classes: int, img_size: int,
             outs, mut = model.apply(
                 {"params": params, "batch_stats": state["batch_stats"]},
                 imgs, train=True, mutable=["batch_stats"])
-            total, comps = detection_loss(
-                outs, targets, use_atss=use_atss, num_classes=num_classes,
-                img_size=img_size, strides=strides, reg_max=reg_max,
-                use_dfl=use_dfl, iou_type=iou_type, loss_weight=loss_weight)
+            if loss_type == "simota":
+                from mafyolo_tpu.models.losses.simota import simota_loss
+                total, comps = simota_loss(
+                    outs, targets, num_classes=num_classes, img_size=img_size,
+                    strides=strides, iou_type=iou_type)
+            else:
+                total, comps = detection_loss(
+                    outs, targets, use_atss=use_atss, num_classes=num_classes,
+                    img_size=img_size, strides=strides, reg_max=reg_max,
+                    use_dfl=use_dfl, iou_type=iou_type, loss_weight=loss_weight)
             return total, (comps, mut["batch_stats"])
 
         (loss, (comps, new_stats)), grads = jax.value_and_grad(

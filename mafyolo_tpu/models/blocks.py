@@ -90,6 +90,61 @@ class ConvBN(nn.Module):
         return _activate(x.astype(self.dtype), self.act)
 
 
+def fake_quant_sym(x, amax, bits: int = 8):
+    """Symmetric fake quantization with straight-through gradients.
+
+    TPU-native replacement for pytorch_quantization's TensorQuantizer
+    (tools/qat/qat_utils.py): scale = amax / qmax, round-clip to int grid,
+    dequantize; amax==0 passes through (uncalibrated/no-op).
+    """
+    qmax = 2.0 ** (bits - 1) - 1
+    scale = jnp.maximum(amax, 1e-12) / qmax
+    q = jnp.clip(jnp.round(x / scale), -qmax - 1, qmax) * scale
+    q = jnp.where(amax > 0, q, x)
+    return x + jax.lax.stop_gradient(q - x)   # STE for QAT
+
+
+class _RawConv(nn.Module):
+    """Bare conv (the {'kernel','bias'} leaf of deploy blocks) with optional
+    int8 fake quantization: per-output-channel weights, per-tensor activations."""
+    cin: int
+    cout: int
+    k: int
+    stride: int
+    groups: int
+    dilation: int
+    pad: int
+    dtype: Dtype
+    quant: bool = False
+    calibrate: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (self.k, self.k, self.cin // self.groups, self.cout),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.cout,), jnp.float32)
+        if self.quant:
+            amax = self.variable("quant", "act_amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if self.calibrate:
+                if not self.is_initializing():
+                    amax.value = jnp.maximum(amax.value,
+                                             jnp.abs(x.astype(jnp.float32)).max())
+            else:
+                x = fake_quant_sym(x.astype(jnp.float32), amax.value).astype(x.dtype)
+            w_amax = jnp.abs(kernel).max(axis=(0, 1, 2), keepdims=True)
+            kernel = fake_quant_sym(kernel, w_amax)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.pad, self.pad), (self.pad, self.pad)],
+            rhs_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
 class ConvAct(nn.Module):
     """Deploy-form conv with bias + optional activation (the fold target of ConvBN)."""
     cout: int
@@ -100,22 +155,25 @@ class ConvAct(nn.Module):
     act: Optional[str] = None
     pad: Optional[int] = None
     dtype: Dtype = jnp.float32
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train
         p = autopad(self.k, self.dilation) if self.pad is None else self.pad
-        x = nn.Conv(
-            self.cout, (self.k, self.k), strides=(self.stride, self.stride),
-            padding=[(p, p), (p, p)], feature_group_count=self.groups,
-            kernel_dilation=(self.dilation, self.dilation), use_bias=True,
-            kernel_init=torch_conv_kernel_init,
-            dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        cin = x.shape[-1]
+        x = _RawConv(cin, self.cout, self.k, self.stride, self.groups,
+                     self.dilation, p, self.dtype, quant=self.quant,
+                     calibrate=self.calibrate, name="conv")(x)
         return _activate(x, self.act)
 
 
-def _convish(deploy: bool):
-    return ConvAct if deploy else ConvBN
+def _convish(deploy: bool, quant: bool = False, calibrate: bool = False):
+    if deploy:
+        import functools
+        return functools.partial(ConvAct, quant=quant, calibrate=calibrate)
+    return ConvBN
 
 
 class Conv(nn.Module):
@@ -125,12 +183,14 @@ class Conv(nn.Module):
     stride: int = 1
     groups: int = 1
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     act: str = "silu"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return _convish(self.deploy)(
+        return _convish(self.deploy, self.quant, self.calibrate)(
             self.cout, self.k, self.stride, self.groups, act=self.act,
             dtype=self.dtype, name="block")(x, train)
 
@@ -142,11 +202,13 @@ class ConvWrapper(nn.Module):
     stride: int = 1
     groups: int = 1
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return _convish(self.deploy)(
+        return _convish(self.deploy, self.quant, self.calibrate)(
             self.cout, self.k, self.stride, self.groups, act="silu",
             dtype=self.dtype, name="block")(x, train)
 
@@ -158,11 +220,13 @@ class SimConv(nn.Module):
     stride: int = 1
     groups: int = 1
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return _convish(self.deploy)(
+        return _convish(self.deploy, self.quant, self.calibrate)(
             self.cout, self.k, self.stride, self.groups, act="relu",
             dtype=self.dtype, name="block")(x, train)
 
@@ -179,12 +243,14 @@ class SPPF(nn.Module):
     cout: int
     k: int = 5
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.cin // 2
-        cv = _convish(self.deploy)
+        cv = _convish(self.deploy, self.quant, self.calibrate)
         x = cv(c_, 1, act="silu", dtype=self.dtype, name="cv1")(x, train)
         y1 = max_pool_same(x, self.k)
         y2 = max_pool_same(y1, self.k)
@@ -204,6 +270,8 @@ class RepVGGBlock(nn.Module):
     stride: int = 1
     groups: int = 1
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -229,14 +297,16 @@ class MPRep(nn.Module):
     cin: int
     cout: int
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.cout // 2
         a = nn.max_pool(x, (2, 2), strides=(2, 2))
-        a = _convish(self.deploy)(c_, 1, act="silu", dtype=self.dtype, name="pool_proj")(a, train)
-        b = RepVGGBlock(self.cin, c_, stride=2, deploy=self.deploy, dtype=self.dtype,
+        a = _convish(self.deploy, self.quant, self.calibrate)(c_, 1, act="silu", dtype=self.dtype, name="pool_proj")(a, train)
+        b = RepVGGBlock(self.cin, c_, stride=2, deploy=self.deploy, quant=self.quant, calibrate=self.calibrate, dtype=self.dtype,
                         name="rep_down")(x, train)
         return jnp.concatenate([a, b], axis=-1)
 
@@ -265,6 +335,8 @@ class DilatedReparamBlock(nn.Module):
     ch: int
     k: int
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -285,6 +357,8 @@ class UniRepLKNetBlock(nn.Module):
     ch: int
     k: int
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -308,6 +382,8 @@ class ReparamLargeKernelConv(nn.Module):
     stride: int = 1
     small_k: int = 3
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -333,14 +409,16 @@ class DepthBottleneckUni(nn.Module):
     kersize: int = 5
     expansion_depth: float = 1.0
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = int(self.cin * self.expansion_depth)
-        cv = _convish(self.deploy)
+        cv = _convish(self.deploy, self.quant, self.calibrate)
         y = cv(mid, 1, act="silu", dtype=self.dtype, name="expand")(x, train)
-        y = UniRepLKNetBlock(mid, self.kersize, deploy=self.deploy, dtype=self.dtype,
+        y = UniRepLKNetBlock(mid, self.kersize, deploy=self.deploy, quant=self.quant, calibrate=self.calibrate, dtype=self.dtype,
                              name="dw")(y, train)
         y = nn.silu(y)
         return cv(self.cout, 1, act="silu", dtype=self.dtype, name="project")(y, train)
@@ -360,17 +438,19 @@ class RepHDW(nn.Module):
     kersize: int = 5
     depth_expansion: float = 1.0
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.cout * self.expansion)
-        cv = _convish(self.deploy)
+        cv = _convish(self.deploy, self.quant, self.calibrate)
         x = cv(2 * c_, 1, act="silu", dtype=self.dtype, name="cv_in")(x, train)
         outs = [x[..., :c_], x[..., c_:2 * c_]]
         for i in range(self.depth):
             y = DepthBottleneckUni(c_, c_, self.kersize, self.depth_expansion,
-                                   deploy=self.deploy, dtype=self.dtype,
+                                   deploy=self.deploy, quant=self.quant, calibrate=self.calibrate, dtype=self.dtype,
                                    name=f"m{i}")(outs[-1], train)
             outs.append(y)
         y = jnp.concatenate(outs, axis=-1)
@@ -391,14 +471,16 @@ class Head_DepthUni(nn.Module):
     nc: int = 80
     num_anchors: int = 1
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cv = _convish(self.deploy)
+        cv = _convish(self.deploy, self.quant, self.calibrate)
         prior = 1e-2
         x = cv(self.cout, 1, act="silu", dtype=self.dtype, name="stem")(x, train)
-        cls_f = UniRepLKNetBlock(self.cout, self.kersize, deploy=self.deploy,
+        cls_f = UniRepLKNetBlock(self.cout, self.kersize, deploy=self.deploy, quant=self.quant, calibrate=self.calibrate,
                                  dtype=self.dtype, name="cls_dw")(x, train)
         cls_f = cv(self.cout, 1, act="silu", dtype=self.dtype, name="cls_proj")(cls_f, train)
         cls_out = nn.Conv(self.nc * self.num_anchors, (1, 1), use_bias=True,
@@ -406,7 +488,7 @@ class Head_DepthUni(nn.Module):
                           bias_init=nn.initializers.constant(-math.log((1 - prior) / prior)),
                           dtype=self.dtype, param_dtype=jnp.float32, name="cls_pred")(cls_f)
         cls_out = nn.sigmoid(cls_out.astype(jnp.float32))
-        reg_f = UniRepLKNetBlock(self.cout, self.kersize, deploy=self.deploy,
+        reg_f = UniRepLKNetBlock(self.cout, self.kersize, deploy=self.deploy, quant=self.quant, calibrate=self.calibrate,
                                  dtype=self.dtype, name="reg_dw")(x, train)
         reg_f = cv(self.cout, 1, act="silu", dtype=self.dtype, name="reg_proj")(reg_f, train)
         reg_out = nn.Conv(4 * (self.reg_max + self.num_anchors), (1, 1), use_bias=True,
@@ -414,6 +496,49 @@ class Head_DepthUni(nn.Module):
                           bias_init=nn.initializers.constant(1.0),
                           dtype=self.dtype, param_dtype=jnp.float32, name="reg_pred")(reg_f)
         return x, cls_out, reg_out.astype(jnp.float32)
+
+
+class Head_Simota(nn.Module):
+    """YOLOX-style coupled obj/cls/reg head for the SimOTA path
+    (reference Head_simota, common.py:1159-1196).
+
+    stem 1x1 -> cls 3x3 -> cls_pred (logits); reg 3x3 -> reg_pred (4 ch,
+    xy-offset + log-wh) + obj_pred (1 ch logits). cls/obj biases init to the
+    1e-2 prior; returns raw (cls, reg, obj) maps -- sigmoids live in the loss /
+    eval decode (Detect_simota, yolo.py:427-454).
+    """
+    cin: int
+    cout: int
+    reg_max: int = 0
+    nc: int = 80
+    num_anchors: int = 1
+    deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cv = _convish(self.deploy, self.quant, self.calibrate)
+        prior = 1e-2
+        bias_p = nn.initializers.constant(-math.log((1 - prior) / prior))
+        x = cv(self.cout, 1, act="silu", dtype=self.dtype, name="stem")(x, train)
+        cls_f = cv(self.cout, 3, act="silu", dtype=self.dtype, name="cls_conv")(x, train)
+        cls_out = nn.Conv(self.nc * self.num_anchors, (1, 1), use_bias=True,
+                          kernel_init=torch_conv_kernel_init, bias_init=bias_p,
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name="cls_pred")(cls_f)
+        reg_f = cv(self.cout, 3, act="silu", dtype=self.dtype, name="reg_conv")(x, train)
+        reg_out = nn.Conv(4 * (self.reg_max + self.num_anchors), (1, 1),
+                          use_bias=True, kernel_init=torch_conv_kernel_init,
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name="reg_pred")(reg_f)
+        obj_out = nn.Conv(self.num_anchors, (1, 1), use_bias=True,
+                          kernel_init=torch_conv_kernel_init, bias_init=bias_p,
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name="obj_pred")(reg_f)
+        return (cls_out.astype(jnp.float32), reg_out.astype(jnp.float32),
+                obj_out.astype(jnp.float32))
 
 
 class Upsample2x(nn.Module):

@@ -95,6 +95,27 @@ def dfl_decode(reg_distri, reg_max: int):
     return probs @ proj
 
 
+def decode_simota_eval(head_outs: Sequence[Tuple], strides: Sequence[int]):
+    """SimOTA eval decode (Detect_simota eval branch, yolo.py:427-454):
+    per-level raw (cls, reg, obj) -> [B, A, 5+nc] with xy=(xy+grid)*stride,
+    wh=exp(wh)*stride, obj/cls sigmoided. Layout (xywh, obj, cls) feeds
+    batched_nms directly.
+    """
+    outs = []
+    for (cls, reg, obj), s in zip(head_outs, strides):
+        b, h, w, _ = cls.shape
+        gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        grid = jnp.stack([gx, gy], -1).reshape(1, h * w, 2)
+        reg = reg.reshape(b, h * w, -1).astype(jnp.float32)
+        xy = (reg[..., :2] + grid) * s
+        wh = jnp.exp(reg[..., 2:4]) * s
+        obj = jax.nn.sigmoid(obj.reshape(b, h * w, 1).astype(jnp.float32))
+        cls = jax.nn.sigmoid(cls.reshape(b, h * w, -1).astype(jnp.float32))
+        outs.append(jnp.concatenate([xy, wh, obj, cls], -1))
+    return jnp.concatenate(outs, 1)
+
+
 def decode_eval(head_outs: Sequence[Tuple], strides: Sequence[int], reg_max: int = 16,
                 use_dfl: bool = True):
     """Eval decode -> [B, A, 4+1+nc] with xywh image-scale boxes, obj==1, cls scores.

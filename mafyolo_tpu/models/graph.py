@@ -108,6 +108,11 @@ def parse_graph(graph: dict, nc: int, ch_in: int = 3):
             c1 = cin_of(frm[0], i)
             c2 = make_divisible(args[0] * gw, 8)
             kw = dict(cin=c1, cout=c2, reg_max=int(args[1]), kersize=int(args[2]), nc=nc)
+        elif kind == "Head_simota":
+            c1 = cin_of(frm[0], i)
+            c2 = make_divisible(args[0] * gw, 8)
+            kw = dict(cin=c1, cout=c2,
+                      reg_max=int(args[1]) if len(args) > 1 else 0, nc=nc)
         elif kind == "Out":
             out_frm = tuple(x % i for x in frm)
             c2 = ch[-1]
@@ -141,6 +146,7 @@ _BLOCK_CTORS = {
     "SimConv": B.SimConv,
     "ConvWrapper": B.ConvWrapper,
     "Head_DepthUni": B.Head_DepthUni,
+    "Head_simota": B.Head_Simota,
 }
 
 
@@ -150,6 +156,8 @@ class GraphNet(nn.Module):
     save: frozenset
     out_frm: Tuple[int, ...]
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -171,7 +179,8 @@ class GraphNet(nn.Module):
                 x = B.Concat(dtype=self.dtype, name=f"layer{spec.idx}")(inp, train)
             else:
                 ctor = _BLOCK_CTORS[spec.kind]
-                x = ctor(deploy=self.deploy, dtype=self.dtype,
+                x = ctor(deploy=self.deploy, quant=self.quant,
+                         calibrate=self.calibrate, dtype=self.dtype,
                          name=f"layer{spec.idx}", **spec.kw)(inp, train)
             if spec.idx in self.save:
                 y[spec.idx] = x
@@ -192,16 +201,20 @@ class MAFYolo(nn.Module):
     reg_max: int = 16
     strides: Tuple[int, ...] = (8, 16, 32)
     deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return GraphNet(self.specs, self.save, self.out_frm, deploy=self.deploy,
+                        quant=self.quant, calibrate=self.calibrate,
                         dtype=self.dtype, name="net")(x, train)
 
 
 def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
                 strides: Tuple[int, ...] = (8, 16, 32), deploy: bool = False,
+                quant: bool = False, calibrate: bool = False,
                 dtype: Any = jnp.float32) -> MAFYolo:
     """Build a MAFYolo from a zoo name, a graph dict, or a reference-format yaml path."""
     if isinstance(graph, str):
@@ -213,4 +226,5 @@ def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
             graph = graph_from_yaml(graph)
     specs, save, out_frm = parse_graph(graph, nc=nc)
     return MAFYolo(specs=specs, save=save, out_frm=out_frm, nc=nc, reg_max=reg_max,
-                   strides=strides, deploy=deploy, dtype=dtype)
+                   strides=strides, deploy=deploy, quant=quant,
+                   calibrate=calibrate, dtype=dtype)

@@ -148,6 +148,14 @@ def _fold_block(kind: str, kw: Dict, p, s):
         for i in range(kw["depth"]):
             out[f"m{i}"] = _fold_dbu(p[f"m{i}"], s[f"m{i}"], dbu_kw)
         return out
+    if kind == "Head_simota":
+        out = {"stem": _fold_cbn(p["stem"], s["stem"])}
+        for branch in ("cls_conv", "reg_conv"):
+            out[branch] = _fold_cbn(p[branch], s[branch])
+        for pred in ("cls_pred", "reg_pred", "obj_pred"):
+            out[pred] = {"kernel": _np(p[pred]["kernel"]),
+                         "bias": _np(p[pred]["bias"])}
+        return out
     if kind == "Head_DepthUni":
         out = {"stem": _fold_cbn(p["stem"], s["stem"])}
         for branch in ("cls", "reg"):

