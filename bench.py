@@ -9,6 +9,10 @@ import json
 import time
 
 import jax
+
+from mafyolo_tpu.utils.envs import setup_jax
+
+setup_jax()
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,8 +33,8 @@ def main():
     iters = 20 if on_accel else 2
 
     train_model = build_model("maf-yolo-n", nc=80)
-    variables = train_model.init(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, 64, 64, 3)), train=False)
+    variables = jax.jit(train_model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     folded = jax.device_put(fold_variables(train_model.specs, variables))
     model = build_model("maf-yolo-n", nc=80, deploy=True, dtype=dtype)
 

@@ -26,8 +26,8 @@ from mafyolo_tpu.utils.events import LOGGER
 def init_quant_tree(graph, nc: int, folded_params: Dict, img_size: int = 64):
     """Zero-initialized amax tree matching the deploy graph."""
     calib = build_model(graph, nc=nc, deploy=True, quant=True, calibrate=True)
-    variables = calib.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, img_size, img_size, 3)), train=False)
+    variables = jax.jit(calib.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, img_size, img_size, 3)), train=False)
     return variables["quant"]
 
 
@@ -59,6 +59,49 @@ def ptq_calibrate(graph, nc: int, folded_params: Dict, batches: Iterable,
             break
     LOGGER.info(f"PTQ calibration done over {n} batches")
     return jax.device_get(quant)
+
+
+def qat_finetune(graph, nc: int, folded_params: Dict, quant_tree: Dict,
+                 loader, *, img_size: int, epochs: int = 3, lr: float = 1e-4,
+                 momentum: float = 0.9, iou_type: str = "giou",
+                 dtype=jnp.float32) -> Dict:
+    """Quantization-aware finetuning of the folded model (reference QAT analog:
+    engine.quant_setup + normal train loop, engine.py:600-615).
+
+    The folded deploy graph (no BN) runs with fake-quant convs; the straight-
+    through estimator carries gradients through the int8 grid. Plain SGD with
+    momentum on all params; the TAL detection loss supervises.
+    """
+    from mafyolo_tpu.models.losses import detection_loss
+
+    model = build_model(graph, nc=nc, deploy=True, quant=True, dtype=dtype)
+    params = jax.device_put(folded_params["params"])
+    mom = jax.tree.map(jnp.zeros_like, params)
+
+    @jax.jit
+    def step(params, mom, imgs_u8, targets):
+        x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
+
+        def loss_fn(p):
+            outs = model.apply({"params": p, "quant": quant_tree}, x, train=False)
+            total, _ = detection_loss(outs, targets, use_atss=False,
+                                      num_classes=nc, img_size=img_size,
+                                      iou_type=iou_type)
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        new_mom = jax.tree.map(lambda m, g: momentum * m + g, mom, grads)
+        new_params = jax.tree.map(lambda p, m, g: p - lr * (g + momentum * m),
+                                  params, new_mom, grads)
+        return new_params, new_mom, loss
+
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        for imgs, targets, _ in loader:
+            params, mom, loss = step(params, mom, jnp.asarray(imgs),
+                                     jnp.asarray(targets))
+        LOGGER.info(f"QAT epoch {epoch}: loss {float(loss):.4f}")
+    return {"params": jax.device_get(params)}
 
 
 def quantized_predict_fn(graph, nc: int, folded_params: Dict, quant_tree: Dict,

@@ -28,21 +28,29 @@ from mafyolo_tpu.utils.ema import ema_update
 
 
 def init_train_state(model, rng, img_size: int, local_batch: int = 1) -> Dict:
+    """Build the full state in ONE jitted call.
+
+    Eager init dispatches one device op per parameter -- catastrophically slow
+    over a tunneled chip (each tiny op is a remote compile). ema/params may alias
+    buffers: the train step does not donate its inputs.
+    """
     x = jnp.zeros((1, img_size, img_size, 3), model.dtype)
-    variables = model.init(rng, x, train=False)
-    params = variables["params"]
-    stats = variables.get("batch_stats", {})
-    copy = lambda t: jax.tree.map(lambda a: a.copy(), t)  # noqa: E731
-    # EMA gets distinct buffers: the jitted step donates the state, and donating
-    # the same buffer twice is an XLA error.
-    return {
-        "params": params,
-        "batch_stats": stats,
-        "ema": {"params": copy(params), "batch_stats": copy(stats)},
-        "mom": sgd_init(params),
-        "grad_acc": sgd_init(params),
-        "updates": jnp.zeros((), jnp.int32),
-    }
+
+    @jax.jit
+    def mk(rng):
+        variables = model.init(rng, x, train=False)
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        return {
+            "params": params,
+            "batch_stats": stats,
+            "ema": {"params": params, "batch_stats": stats},
+            "mom": sgd_init(params),
+            "grad_acc": sgd_init(params),
+            "updates": jnp.zeros((), jnp.int32),
+        }
+
+    return mk(rng)
 
 
 def make_train_step(model, *, num_classes: int, img_size: int,
@@ -113,5 +121,6 @@ def make_train_step(model, *, num_classes: int, img_size: int,
             in_shardings=(repl, data, data, repl, repl, repl, repl, repl),
             out_shardings=(repl, repl),
         )
-    return jax.jit(step, static_argnames=("use_atss",), donate_argnums=(0,),
-                   **jit_kwargs)
+    # no donation: state buffers may alias (ema==params at init) and the model is
+    # small enough that the extra live copy is irrelevant on a 16GB chip.
+    return jax.jit(step, static_argnames=("use_atss",), **jit_kwargs)

@@ -14,6 +14,10 @@ ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
+from mafyolo_tpu.utils.envs import setup_jax  # noqa: E402
+
+setup_jax()
+
 # per-model 640-eval protocol (reference configs/experiment/eval_640_repro.py)
 EVAL_640_REPRO = {
     "maf-yolo-n": dict(test_load_size=636, letterbox_return_int=True,

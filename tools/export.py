@@ -17,6 +17,10 @@ ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
+from mafyolo_tpu.utils.envs import setup_jax  # noqa: E402
+
+setup_jax()
+
 
 def get_args_parser():
     p = argparse.ArgumentParser("MAF-YOLO-TPU export")

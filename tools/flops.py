@@ -12,6 +12,10 @@ ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
+from mafyolo_tpu.utils.envs import setup_jax  # noqa: E402
+
+setup_jax()
+
 
 def model_flops(graph="maf-yolo-n", nc=80, img_size=640, deploy=True, batch=1):
     import jax
@@ -21,8 +25,8 @@ def model_flops(graph="maf-yolo-n", nc=80, img_size=640, deploy=True, batch=1):
     from mafyolo_tpu.models.reparam import fold_variables
 
     train_model = build_model(graph, nc=nc)
-    variables = train_model.init(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, 64, 64, 3)), train=False)
+    variables = jax.jit(train_model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     if deploy:
         model = build_model(graph, nc=nc, deploy=True)
         variables = fold_variables(train_model.specs, variables)

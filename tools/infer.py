@@ -16,6 +16,10 @@ ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
+from mafyolo_tpu.utils.envs import setup_jax  # noqa: E402
+
+setup_jax()
+
 VID_FORMATS = (".mp4", ".avi", ".mov", ".mkv")
 
 

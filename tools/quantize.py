@@ -14,6 +14,10 @@ ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
+from mafyolo_tpu.utils.envs import setup_jax  # noqa: E402
+
+setup_jax()
+
 
 def get_args_parser():
     p = argparse.ArgumentParser("MAF-YOLO-TPU INT8 PTQ")
@@ -25,6 +29,10 @@ def get_args_parser():
     p.add_argument("--out", default=None, help="output ckpt (default *_calib.npck)")
     p.add_argument("--eval", action="store_true", help="eval fp32 vs int8 AP")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware finetune after calibration")
+    p.add_argument("--qat-epochs", type=int, default=3)
+    p.add_argument("--qat-lr", type=float, default=1e-4)
     return p
 
 
@@ -53,6 +61,15 @@ def run(args):
                                   task="train")
     quant_tree = ptq_calibrate(graph, nc, variables, iter(loader),
                                max_batches=args.calib_batches)
+    if args.qat:
+        from mafyolo_tpu.core.quant import qat_finetune
+        qat_loader, _ = create_dataloader(
+            data_dict["train"], args.img_size, args.batch_size, augment=False,
+            workers=args.workers, shuffle=True, task="train")
+        variables = {"params": qat_finetune(
+            graph, nc, variables, quant_tree, qat_loader,
+            img_size=args.img_size, epochs=args.qat_epochs,
+            lr=args.qat_lr)["params"]}
     out = args.out or args.weights.replace(".npck", "_calib.npck").replace(
         ".pt", "_calib.npck")
     with open(out, "wb") as f:
