@@ -73,9 +73,17 @@ def batched_nms(prediction, conf_thres: float = 0.03, iou_thres: float = 0.65,
             cls_scores = jnp.where(cls_scores == best, cls_scores, 0.0)
         cls_scores = jnp.where(cls_scores > conf_thres, cls_scores, 0.0)
 
-        flat = cls_scores.reshape(-1)                       # [A*nc]
-        top_scores, top_flat = lax.top_k(flat, m)
-        anchor_idx = top_flat // nc
+        # Exact two-stage top-M over the [A, nc] score matrix. Stage 1 keeps the
+        # top-M anchors by per-anchor max score; each of those maxes is itself a
+        # candidate pair scoring >= any pair outside the kept anchors, so the
+        # global top-M pairs all live inside the kept rows (exactness proof in
+        # docs/STATUS.md). Sorts shrink from A*nc=672k to A then M*nc -- the
+        # measured NMS bottleneck at 640px was this very sort.
+        k_anchor = min(m, a)
+        _, anchor_top = lax.top_k(cls_scores.max(-1), k_anchor)   # [Ma]
+        rows = cls_scores[anchor_top]                             # [Ma, nc]
+        top_scores, top_flat = lax.top_k(rows.reshape(-1), m)
+        anchor_idx = anchor_top[top_flat // nc]
         cls_idx = (top_flat % nc).astype(jnp.int32)
         cand_boxes = boxes[anchor_idx]                      # [M,4]
         valid = top_scores > 0
