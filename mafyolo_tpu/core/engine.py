@@ -184,12 +184,12 @@ class Trainer:
                 jnp.float32(sched["lr_bias"]), jnp.float32(sched["momentum"]),
                 jnp.bool_(do_apply), use_atss)
             n_imgs += imgs.shape[0]
-            if running is None:
-                running = {k: float(v) for k, v in metrics.items()}
-            else:
-                running = {k: 0.95 * running[k] + 0.05 * float(v)
-                           for k, v in metrics.items()}
+            # metrics stay on device between logs: each host fetch is a full
+            # roundtrip (~30ms over a tunneled chip) that would gate every step
             if step % 50 == 0 and is_main_process():
+                vals = {k: float(v) for k, v in metrics.items()}
+                running = vals if running is None else {
+                    k: 0.5 * running[k] + 0.5 * vals[k] for k in vals}
                 ips = n_imgs / max(time.time() - t_start, 1e-9)
                 LOGGER.info(
                     f"epoch {epoch} step {step}/{self.max_stepnum} "

@@ -498,6 +498,34 @@ class Head_DepthUni(nn.Module):
         return x, cls_out, reg_out.astype(jnp.float32)
 
 
+class S2DStem(nn.Module):
+    """Space-to-depth replacement for the deploy-form stem RepVGG (layer0).
+
+    A 3x3/s2 conv on [B,H,W,3] is layout-hostile on TPU (C=3 pads to a full
+    128-lane register). Packing 2x2 pixel blocks into channels ([B,H/2,W/2,12])
+    turns it into an equivalent 2x2/s1 conv with remapped weights (the MLPerf
+    ResNet trick); reparam.fold_stem_s2d produces the remapped kernel. Output is
+    numerically identical to the folded RepVGG stem (ReLU included).
+    """
+    cout: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            (2, 2, 4 * c, self.cout), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.cout,), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return nn.relu(y + bias.astype(self.dtype))
+
+
 class Head_Simota(nn.Module):
     """YOLOX-style coupled obj/cls/reg head for the SimOTA path
     (reference Head_simota, common.py:1159-1196).

@@ -158,6 +158,7 @@ class GraphNet(nn.Module):
     deploy: bool = False
     quant: bool = False
     calibrate: bool = False
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -177,6 +178,10 @@ class GraphNet(nn.Module):
                 x = B.Upsample2x(dtype=self.dtype, name=f"layer{spec.idx}")(inp, train)
             elif spec.kind == "Concat":
                 x = B.Concat(dtype=self.dtype, name=f"layer{spec.idx}")(inp, train)
+            elif (self.s2d_stem and spec.idx == 0
+                  and spec.kind == "RepVGGBlock"):
+                x = B.S2DStem(cout=spec.kw["cout"], dtype=self.dtype,
+                              name=f"layer{spec.idx}")(inp, train)
             else:
                 ctor = _BLOCK_CTORS[spec.kind]
                 x = ctor(deploy=self.deploy, quant=self.quant,
@@ -203,19 +208,21 @@ class MAFYolo(nn.Module):
     deploy: bool = False
     quant: bool = False
     calibrate: bool = False
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return GraphNet(self.specs, self.save, self.out_frm, deploy=self.deploy,
                         quant=self.quant, calibrate=self.calibrate,
-                        dtype=self.dtype, name="net")(x, train)
+                        s2d_stem=self.s2d_stem, dtype=self.dtype,
+                        name="net")(x, train)
 
 
 def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
                 strides: Tuple[int, ...] = (8, 16, 32), deploy: bool = False,
                 quant: bool = False, calibrate: bool = False,
-                dtype: Any = jnp.float32) -> MAFYolo:
+                s2d_stem: bool = False, dtype: Any = jnp.float32) -> MAFYolo:
     """Build a MAFYolo from a zoo name, a graph dict, or a reference-format yaml path."""
     if isinstance(graph, str):
         if graph in MODEL_ZOO:
@@ -227,4 +234,4 @@ def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
     specs, save, out_frm = parse_graph(graph, nc=nc)
     return MAFYolo(specs=specs, save=save, out_frm=out_frm, nc=nc, reg_max=reg_max,
                    strides=strides, deploy=deploy, quant=quant,
-                   calibrate=calibrate, dtype=dtype)
+                   calibrate=calibrate, s2d_stem=s2d_stem, dtype=dtype)

@@ -169,7 +169,34 @@ def _fold_block(kind: str, kw: Dict, p, s):
     raise NotImplementedError(f"no fold rule for {kind}")
 
 
-def fold_variables(specs, variables) -> Dict:
+def fold_stem_s2d(fused: Dict) -> Dict:
+    """Remap a folded 3x3/s2 stem kernel (HWIO, cin=3) to the space-to-depth
+    2x2/s1 form consumed by blocks.S2DStem.
+
+    Derivation: with X[i,j,(py,px,c)] = x[2i+py, 2j+px, c] and tap index
+    dy-1 = 2*siy + py (dy in 0..2 -> (siy,py) in {(-1,1),(0,0),(0,1)}), the s2
+    conv becomes a 2x2 conv over X with padding (1,0):
+      W2[siy+1, six+1, py*2c'+px*c'+ch, o] = W[2siy+py+1, 2six+px+1, ch, o].
+    """
+    k = _np(fused["conv"]["kernel"])          # [3,3,cin,cout]
+    _, _, cin, cout = k.shape
+    w2 = np.zeros((2, 2, 4 * cin, cout), np.float32)
+    for siy in (-1, 0):
+        for py in (0, 1):
+            dy = 2 * siy + py + 1
+            if dy < 0 or dy > 2:
+                continue
+            for six in (-1, 0):
+                for px in (0, 1):
+                    dx = 2 * six + px + 1
+                    if dx < 0 or dx > 2:
+                        continue
+                    idx = (py * 2 + px) * cin
+                    w2[siy + 1, six + 1, idx:idx + cin] = k[dy, dx]
+    return {"kernel": w2, "bias": _np(fused["conv"]["bias"])}
+
+
+def fold_variables(specs, variables, s2d_stem: bool = False) -> Dict:
     """Train-form {'params','batch_stats'} -> deploy-form {'params'} for the same graph."""
     net_p = variables["params"]["net"]
     net_s = variables["batch_stats"]["net"]
@@ -179,4 +206,6 @@ def fold_variables(specs, variables) -> Dict:
             continue
         name = f"layer{spec.idx}"
         out[name] = _fold_block(spec.kind, spec.kw, net_p[name], net_s.get(name, {}))
+        if s2d_stem and spec.idx == 0 and spec.kind == "RepVGGBlock":
+            out[name] = fold_stem_s2d(out[name]["fused"])
     return {"params": {"net": out}}
