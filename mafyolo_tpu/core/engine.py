@@ -63,9 +63,24 @@ class Trainer:
 
         # data
         hyp = dict(cfg.data_aug)
+        self.device_aug = None
+        host_augment = True
+        if getattr(args, "device_aug", False):
+            # device-side affine/HSV/flip: host loader runs letterbox-only
+            self.device_aug = dict(
+                degrees=float(hyp.get("degrees", 0.0)),
+                translate=float(hyp.get("translate", 0.1)),
+                scale=float(hyp.get("scale", 0.5)),
+                shear=float(hyp.get("shear", 0.0)),
+                hsv_h=float(hyp.get("hsv_h", 0.015)),
+                hsv_s=float(hyp.get("hsv_s", 0.7)),
+                hsv_v=float(hyp.get("hsv_v", 0.4)),
+                fliplr=float(hyp.get("fliplr", 0.5)),
+                flipud=float(hyp.get("flipud", 0.0)))
+            host_augment = False
         self.train_loader, self.train_dataset = create_dataloader(
             data_dict["train"], self.img_size, self.batch_size, stride=32, hyp=hyp,
-            augment=True, workers=args.workers, shuffle=True, seed=args.seed,
+            augment=host_augment, workers=args.workers, shuffle=True, seed=args.seed,
             max_labels=getattr(args, "max_labels", 120),
             shard_id=jax.process_index(), num_shards=max(1, jax.process_count()))
         self.max_stepnum = len(self.train_loader)
@@ -106,7 +121,8 @@ class Trainer:
             self.model, num_classes=self.nc, img_size=self.img_size,
             strides=tuple(cfg.model.head.strides), reg_max=cfg.model.head.reg_max,
             use_dfl=cfg.model.head.use_dfl, iou_type=cfg.model.head.iou_type,
-            weight_decay=self.weight_decay, mesh=self.mesh, loss_type=loss_type)
+            weight_decay=self.weight_decay, mesh=self.mesh, loss_type=loss_type,
+            device_aug=self.device_aug, seed=args.seed)
         self._data_sh = data_sharding(self.mesh)
 
         self.warmup_epoch_loss = int(getattr(cfg.model.head, "atss_warmup_epoch", 3))

@@ -48,6 +48,7 @@ def init_train_state(model, rng, img_size: int, local_batch: int = 1) -> Dict:
             "mom": sgd_init(params),
             "grad_acc": sgd_init(params),
             "updates": jnp.zeros((), jnp.int32),
+            "rng_step": jnp.zeros((), jnp.int32),
         }
 
     return mk(rng)
@@ -57,15 +58,27 @@ def make_train_step(model, *, num_classes: int, img_size: int,
                     strides: Sequence[int] = (8, 16, 32), reg_max: int = 16,
                     use_dfl: bool = True, iou_type: str = "giou",
                     weight_decay: float = 5e-4, ema_decay: float = 0.9999,
-                    loss_weight=None, mesh=None, loss_type: str = "tal"):
+                    loss_weight=None, mesh=None, loss_type: str = "tal",
+                    device_aug: dict = None, seed: int = 0):
     """Returns step(state, imgs_u8, targets, lr_bnw, lr_w, lr_b, momentum,
     do_apply, use_atss) -> (state, metrics)."""
     groups_template: Dict[str, Any] = {}
 
+    base_key = jax.random.PRNGKey(seed ^ 0x5DEECE66D)
+
     def step(state, imgs_u8, targets, lr_bnw, lr_w, lr_b, momentum, do_apply,
              use_atss):
-        # BGR uint8 -> RGB float in [0,1] on device (engine.py prepro_data /255)
-        imgs = (imgs_u8[..., ::-1].astype(model.dtype) / jnp.asarray(255.0, model.dtype))
+        if device_aug is not None:
+            # on-device affine/HSV/flip pipeline (data/device_aug.py); the host
+            # loader runs letterbox-only in this mode
+            from mafyolo_tpu.data.device_aug import device_augment
+            key = jax.random.fold_in(base_key, state["rng_step"])
+            imgs_f, targets = device_augment(imgs_u8, targets, key, **device_aug)
+            imgs = imgs_f.astype(model.dtype)
+        else:
+            # BGR uint8 -> RGB float in [0,1] (engine.py prepro_data /255)
+            imgs = (imgs_u8[..., ::-1].astype(model.dtype)
+                    / jnp.asarray(255.0, model.dtype))
 
         def loss_fn(params):
             outs, mut = model.apply(
@@ -108,7 +121,8 @@ def make_train_step(model, *, num_classes: int, img_size: int,
             (state["params"], state["mom"], grad_acc, state["ema"],
              state["updates"]))
         new_state = {"params": params, "batch_stats": new_stats, "ema": ema,
-                     "mom": mom, "grad_acc": grad_acc, "updates": updates}
+                     "mom": mom, "grad_acc": grad_acc, "updates": updates,
+                     "rng_step": state["rng_step"] + 1}
         metrics = {"loss": loss, **comps}
         return new_state, metrics
 

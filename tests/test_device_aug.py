@@ -1,0 +1,68 @@
+"""Device-side augmentation: identity behavior, label geometry, reproducibility."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mafyolo_tpu.data.device_aug import device_augment, hsv_jitter
+
+
+def _batch(rng, b=2, h=64, w=64, n=6):
+    imgs = rng.integers(0, 255, (b, h, w, 3), dtype=np.uint8)
+    labels = np.zeros((b, n, 5), np.float32)
+    labels[:, :, 0] = -1
+    labels[0, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    labels[1, 0] = [0, 0.3, 0.6, 0.25, 0.25]
+    return jnp.asarray(imgs), jnp.asarray(labels)
+
+
+def test_identity_transform_passthrough(rng):
+    imgs, labels = _batch(rng)
+    out_imgs, out_labels = device_augment(
+        imgs, labels, jax.random.PRNGKey(0), degrees=0.0, translate=0.0,
+        scale=0.0, shear=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+        fliplr=0.0, flipud=0.0)
+    ref = np.asarray(imgs)[..., ::-1].astype(np.float32) / 255.0
+    np.testing.assert_allclose(np.asarray(out_imgs), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_labels), np.asarray(labels),
+                               atol=1e-5)
+
+
+def test_fliplr_mirrors_labels(rng):
+    imgs, labels = _batch(rng)
+    out_imgs, out_labels = device_augment(
+        imgs, labels, jax.random.PRNGKey(0), degrees=0.0, translate=0.0,
+        scale=0.0, shear=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+        fliplr=1.0, flipud=0.0)
+    ref = np.asarray(imgs)[..., ::-1].astype(np.float32) / 255.0
+    np.testing.assert_allclose(np.asarray(out_imgs), ref[:, :, ::-1], atol=1e-5)
+    lb = np.asarray(out_labels)
+    assert np.isclose(lb[0, 0, 1], 0.5, atol=1e-5)       # centered box stays
+    assert np.isclose(lb[1, 0, 1], 0.7, atol=1e-5)       # 0.3 -> 0.7
+    np.testing.assert_array_equal(lb[:, 1:, 0], -1)      # padding untouched
+
+
+def test_affine_keeps_valid_boxes_and_is_reproducible(rng):
+    imgs, labels = _batch(rng, h=96, w=96)
+    a1 = device_augment(imgs, labels, jax.random.PRNGKey(7), scale=0.5,
+                        translate=0.1)
+    a2 = device_augment(imgs, labels, jax.random.PRNGKey(7), scale=0.5,
+                        translate=0.1)
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+    np.testing.assert_array_equal(np.asarray(a1[1]), np.asarray(a2[1]))
+    lb = np.asarray(a1[1])
+    live = lb[lb[:, :, 0] >= 0]
+    if len(live):
+        assert live[:, 1:].min() >= 0 and live[:, 1:].max() <= 1
+    imgs_out = np.asarray(a1[0])
+    assert imgs_out.min() >= 0 and imgs_out.max() <= 1 + 1e-5
+
+
+def test_hsv_jitter_preserves_range(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    out = hsv_jitter(img, jax.random.PRNGKey(1))
+    o = np.asarray(out)
+    assert o.min() >= -1e-5 and o.max() <= 1 + 1e-5
+    # zero-ish gains shouldn't change much
+    out2 = hsv_jitter(img, jax.random.PRNGKey(1), hgain=0.0, sgain=0.0, vgain=0.0)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(img), atol=1e-3)

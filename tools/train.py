@@ -42,6 +42,9 @@ def get_args_parser():
     p.add_argument("--max-labels", type=int, default=120)
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--simota", action="store_true", help="use SimOTA loss")
+    p.add_argument("--device-aug", action="store_true",
+                   help="run affine/HSV/flip augmentation on device "
+                        "(host does letterbox only; mosaic disabled)")
     p.add_argument("--device-count", type=int, default=None,
                    help="limit mesh to the first N local devices")
     return p
