@@ -117,12 +117,29 @@ class Trainer:
 
         loss_type = "simota" if (getattr(args, "simota", False)
                                  or cfg.model.get("target") == "SimOTA") else "tal"
+        teacher = None
+        if getattr(args, "distill", False):
+            # teacher model for knowledge distillation (engine.py:451-462)
+            t_ckpt = load_checkpoint(args.teacher_model_path)
+            t_meta = t_ckpt.get("meta", {})
+            t_graph = t_meta.get("graph", self.graph)
+            from mafyolo_tpu.utils.checkpoint import eval_variables
+            t_model = build_model(t_graph, nc=self.nc,
+                                  reg_max=cfg.model.head.reg_max,
+                                  strides=tuple(cfg.model.head.strides),
+                                  dtype=dtype)
+            t_vars = jax.device_put(eval_variables(t_ckpt))
+            teacher = (t_model, t_vars)
+            loss_type = "distill"
         self.train_step = make_train_step(
             self.model, num_classes=self.nc, img_size=self.img_size,
             strides=tuple(cfg.model.head.strides), reg_max=cfg.model.head.reg_max,
             use_dfl=cfg.model.head.use_dfl, iou_type=cfg.model.head.iou_type,
             weight_decay=self.weight_decay, mesh=self.mesh, loss_type=loss_type,
-            device_aug=self.device_aug, seed=args.seed)
+            device_aug=self.device_aug, seed=args.seed, teacher=teacher,
+            max_epoch=self.epochs,
+            distill_feat=bool(getattr(args, "distill_feat", False)),
+            temperature=float(getattr(args, "temperature", 20.0)))
         self._data_sh = data_sharding(self.mesh)
 
         self.warmup_epoch_loss = int(getattr(cfg.model.head, "atss_warmup_epoch", 3))
@@ -198,7 +215,7 @@ class Trainer:
                 self.state, imgs_dev, tgt_dev,
                 jnp.float32(sched["lr_bnw"]), jnp.float32(sched["lr_weight"]),
                 jnp.float32(sched["lr_bias"]), jnp.float32(sched["momentum"]),
-                jnp.bool_(do_apply), use_atss)
+                jnp.bool_(do_apply), use_atss, jnp.float32(epoch))
             n_imgs += imgs.shape[0]
             # metrics stay on device between logs: each host fetch is a full
             # roundtrip (~30ms over a tunneled chip) that would gate every step

@@ -59,7 +59,9 @@ def make_train_step(model, *, num_classes: int, img_size: int,
                     use_dfl: bool = True, iou_type: str = "giou",
                     weight_decay: float = 5e-4, ema_decay: float = 0.9999,
                     loss_weight=None, mesh=None, loss_type: str = "tal",
-                    device_aug: dict = None, seed: int = 0):
+                    device_aug: dict = None, seed: int = 0,
+                    teacher=None, max_epoch: int = 300,
+                    distill_feat: bool = False, temperature: float = 20.0):
     """Returns step(state, imgs_u8, targets, lr_bnw, lr_w, lr_b, momentum,
     do_apply, use_atss) -> (state, metrics)."""
     groups_template: Dict[str, Any] = {}
@@ -67,7 +69,7 @@ def make_train_step(model, *, num_classes: int, img_size: int,
     base_key = jax.random.PRNGKey(seed ^ 0x5DEECE66D)
 
     def step(state, imgs_u8, targets, lr_bnw, lr_w, lr_b, momentum, do_apply,
-             use_atss):
+             use_atss, epoch_num=0):
         if device_aug is not None:
             # on-device affine/HSV/flip pipeline (data/device_aug.py); the host
             # loader runs letterbox-only in this mode
@@ -84,7 +86,21 @@ def make_train_step(model, *, num_classes: int, img_size: int,
             outs, mut = model.apply(
                 {"params": params, "batch_stats": state["batch_stats"]},
                 imgs, train=True, mutable=["batch_stats"])
-            if loss_type == "simota":
+            if loss_type == "distill":
+                # teacher forward (eval mode, stop-grad) + KD loss
+                # (engine.py:149-160 distill branch)
+                from mafyolo_tpu.models.losses.distill import \
+                    distill_detection_loss
+                t_model, t_vars = teacher
+                t_outs = t_model.apply(t_vars, imgs, train=False)
+                total, comps = distill_detection_loss(
+                    outs, t_outs, targets, epoch_num=epoch_num,
+                    max_epoch=max_epoch, use_atss=use_atss,
+                    num_classes=num_classes, img_size=img_size,
+                    strides=strides, reg_max=reg_max, use_dfl=use_dfl,
+                    iou_type=iou_type, temperature=temperature,
+                    distill_feat=distill_feat)
+            elif loss_type == "simota":
                 from mafyolo_tpu.models.losses.simota import simota_loss
                 total, comps = simota_loss(
                     outs, targets, num_classes=num_classes, img_size=img_size,
@@ -132,7 +148,7 @@ def make_train_step(model, *, num_classes: int, img_size: int,
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         jit_kwargs = dict(
-            in_shardings=(repl, data, data, repl, repl, repl, repl, repl),
+            in_shardings=(repl, data, data, repl, repl, repl, repl, repl, repl),
             out_shardings=(repl, repl),
         )
     # no donation: state buffers may alias (ema==params at init) and the model is

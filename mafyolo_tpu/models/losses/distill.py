@@ -161,7 +161,8 @@ def distill_detection_loss(
     else:
         d_loss_cw = jnp.zeros(())
 
-    decay = ((1 - np.cos(epoch_num * np.pi / max_epoch)) / 2) * (0.01 - 1) + 1
+    # jnp so epoch_num may be a traced scalar (one compile for all epochs)
+    decay = ((1 - jnp.cos(epoch_num * jnp.pi / max_epoch)) / 2) * (0.01 - 1) + 1
     d_loss_dfl = d_loss_dfl * decay
     d_loss_cls = d_loss_cls * decay
     d_loss_cw = d_loss_cw * decay

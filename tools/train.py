@@ -42,6 +42,12 @@ def get_args_parser():
     p.add_argument("--max-labels", type=int, default=120)
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--simota", action="store_true", help="use SimOTA loss")
+    p.add_argument("--distill", action="store_true",
+                   help="knowledge distillation from --teacher-model-path")
+    p.add_argument("--teacher-model-path", default=None)
+    p.add_argument("--distill-feat", action="store_true",
+                   help="also distill neck feature maps")
+    p.add_argument("--temperature", type=float, default=20.0)
     p.add_argument("--device-aug", action="store_true",
                    help="run affine/HSV/flip augmentation on device "
                         "(host does letterbox only; mosaic disabled)")
