@@ -50,9 +50,13 @@ class Trainer:
             "yaml_file", "maf-yolo-n")
         dtype = jnp.bfloat16 if getattr(args, "bf16", True) and \
             jax.default_backend() != "cpu" else jnp.float32
+        # per-block remat: without it the whole-graph backward compiles to a
+        # multi-GB executable on TPU (docs/STATUS.md); with it, 157MB and fast
         self.model = build_model(self.graph, nc=self.nc,
                                  reg_max=cfg.model.head.reg_max,
-                                 strides=tuple(cfg.model.head.strides), dtype=dtype)
+                                 strides=tuple(cfg.model.head.strides),
+                                 remat=bool(getattr(args, "remat", True)),
+                                 dtype=dtype)
 
         # solver scaling rules (engine.py:491-496)
         solver = cfg.solver

@@ -64,6 +64,24 @@ def autopad(k: int, dilation: int = 1) -> int:
     return (dilation * (k - 1) + 1) // 2
 
 
+class _DWConvNoBias(nn.Module):
+    """Depthwise conv (stride 1) with the custom VJP of ops/dwconv.py; param tree
+    identical to nn.Conv's ({'kernel': [K,K,1,C]})."""
+    ch: int
+    k: int
+    pad: int
+    dilation: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        from mafyolo_tpu.ops.dwconv import dw_conv
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (self.k, self.k, 1, self.ch), jnp.float32)
+        return dw_conv(x.astype(self.dtype), kernel.astype(self.dtype),
+                       self.pad, self.dilation)
+
+
 class ConvBN(nn.Module):
     """conv(bias=False) + BatchNorm + optional activation (reference Conv/conv_bn cells)."""
     cout: int
@@ -78,12 +96,19 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = autopad(self.k, self.dilation) if self.pad is None else self.pad
-        x = nn.Conv(
-            self.cout, (self.k, self.k), strides=(self.stride, self.stride),
-            padding=[(p, p), (p, p)], feature_group_count=self.groups,
-            kernel_dilation=(self.dilation, self.dilation), use_bias=False,
-            kernel_init=torch_conv_kernel_init,
-            dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        if (self.groups > 1 and self.groups == x.shape[-1]
+                and self.cout == self.groups and self.stride == 1):
+            # depthwise path: XLA's DW-conv gradient lowering is pathological at
+            # large spatial sizes (2GB executables); use the custom-VJP op
+            x = _DWConvNoBias(self.cout, self.k, p, self.dilation,
+                              self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.cout, (self.k, self.k), strides=(self.stride, self.stride),
+                padding=[(p, p), (p, p)], feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation), use_bias=False,
+                kernel_init=torch_conv_kernel_init,
+                dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
             dtype=jnp.float32, param_dtype=jnp.float32, name="bn")(x.astype(jnp.float32))

@@ -159,6 +159,7 @@ class GraphNet(nn.Module):
     quant: bool = False
     calibrate: bool = False
     s2d_stem: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -184,6 +185,12 @@ class GraphNet(nn.Module):
                               name=f"layer{spec.idx}")(inp, train)
             else:
                 ctor = _BLOCK_CTORS[spec.kind]
+                if self.remat:
+                    # per-block rematerialization: keeps each block's backward a
+                    # self-contained unit (bounds compiled-code size AND live
+                    # activation memory; jax.checkpoint over the whole model
+                    # does neither)
+                    ctor = nn.remat(ctor, static_argnums=(2,))
                 x = ctor(deploy=self.deploy, quant=self.quant,
                          calibrate=self.calibrate, dtype=self.dtype,
                          name=f"layer{spec.idx}", **spec.kw)(inp, train)
@@ -209,20 +216,22 @@ class MAFYolo(nn.Module):
     quant: bool = False
     calibrate: bool = False
     s2d_stem: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return GraphNet(self.specs, self.save, self.out_frm, deploy=self.deploy,
                         quant=self.quant, calibrate=self.calibrate,
-                        s2d_stem=self.s2d_stem, dtype=self.dtype,
-                        name="net")(x, train)
+                        s2d_stem=self.s2d_stem, remat=self.remat,
+                        dtype=self.dtype, name="net")(x, train)
 
 
 def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
                 strides: Tuple[int, ...] = (8, 16, 32), deploy: bool = False,
                 quant: bool = False, calibrate: bool = False,
-                s2d_stem: bool = False, dtype: Any = jnp.float32) -> MAFYolo:
+                s2d_stem: bool = False, remat: bool = False,
+                dtype: Any = jnp.float32) -> MAFYolo:
     """Build a MAFYolo from a zoo name, a graph dict, or a reference-format yaml path."""
     if isinstance(graph, str):
         if graph in MODEL_ZOO:
@@ -234,4 +243,5 @@ def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
     specs, save, out_frm = parse_graph(graph, nc=nc)
     return MAFYolo(specs=specs, save=save, out_frm=out_frm, nc=nc, reg_max=reg_max,
                    strides=strides, deploy=deploy, quant=quant,
-                   calibrate=calibrate, s2d_stem=s2d_stem, dtype=dtype)
+                   calibrate=calibrate, s2d_stem=s2d_stem, remat=remat,
+                   dtype=dtype)

@@ -1,0 +1,70 @@
+"""Depthwise conv with a hand-written VJP.
+
+XLA's TPU lowering of the *gradient* of a grouped/depthwise convolution at large
+spatial sizes explodes: the MAF-YOLO-N train step at 640px compiled to a 2.2GB
+executable (AOT serialization failure) and ran at ~10s/step, entirely from the
+DW large-kernel (UniRepLKNet) branches. The forward is fine -- only the autodiff
+transpose is pathological.
+
+This op keeps the standard forward and replaces the backward with:
+  * dx: a depthwise conv of the cotangent with the spatially-flipped kernel
+    (same padding/dilation; stride-1 only -- every DW conv in the MAF graphs is
+    stride 1), i.e. another *forward-style* conv that lowers cleanly;
+  * dkernel: K*K shifted multiply-reduce taps (python-unrolled, K<=9 -> <=81
+    cheap VPU reductions) -- tiny code, fully fused.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def dw_conv(x, kernel, pad: int, dilation: int):
+    """Depthwise conv, stride 1. x [B,H,W,C], kernel [K,K,1,C] -> [B,H',W',C]."""
+    return _fwd(x, kernel, pad, dilation)
+
+
+def _fwd(x, kernel, pad, dilation):
+    c = x.shape[-1]
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)], rhs_dilation=(dilation, dilation),
+        feature_group_count=c, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _fwd_rule(x, kernel, pad, dilation):
+    return _fwd(x, kernel, pad, dilation), (x, kernel)
+
+
+def _bwd_rule(pad, dilation, res, g):
+    x, kernel = res
+    k = kernel.shape[0]
+    c = x.shape[-1]
+    # dx: depthwise conv of g with the flipped kernel; for stride 1 the transpose
+    # padding is d*(K-1) - pad per side (== pad for 'same' odd kernels)
+    pad_t = dilation * (k - 1) - pad
+    dx = jax.lax.conv_general_dilated(
+        g, jnp.flip(kernel, axis=(0, 1)).astype(g.dtype), window_strides=(1, 1),
+        padding=[(pad_t, pad_t), (pad_t, pad_t)], rhs_dilation=(dilation, dilation),
+        feature_group_count=c, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # dkernel: unrolled shifted reductions (K^2 taps)
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    gh, gw = g.shape[1], g.shape[2]
+    gf = g.astype(jnp.float32)
+    taps = []
+    for ky in range(k):
+        row = []
+        for kx in range(k):
+            patch = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(xp, ky * dilation, gh, axis=1),
+                kx * dilation, gw, axis=2)
+            row.append(jnp.sum(patch.astype(jnp.float32) * gf, axis=(0, 1, 2)))
+        taps.append(jnp.stack(row, 0))
+    dk = jnp.stack(taps, 0)[:, :, None, :].astype(kernel.dtype)   # [K,K,1,C]
+    return dx.astype(x.dtype), dk
+
+
+dw_conv.defvjp(_fwd_rule, _bwd_rule)

@@ -41,6 +41,8 @@ def get_args_parser():
                    help="checkpoint every N epochs (evals/best always save)")
     p.add_argument("--max-labels", type=int, default=120)
     p.add_argument("--bf16", type=int, default=1)
+    p.add_argument("--remat", type=int, default=1,
+                   help="per-block rematerialization (recommended on TPU)")
     p.add_argument("--simota", action="store_true", help="use SimOTA loss")
     p.add_argument("--distill", action="store_true",
                    help="knowledge distillation from --teacher-model-path")
