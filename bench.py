@@ -47,12 +47,18 @@ def main():
 
     imgs = jnp.asarray(np.random.default_rng(0).integers(
         0, 255, (batch, 640, 640, 3), dtype=np.uint8))
-    jax.block_until_ready(predict(imgs))          # compile + warmup
-    jax.block_until_ready(predict(imgs))
+
+    def force(out):
+        # block_until_ready is a no-op on some experimental platforms; a host
+        # value fetch is the only trustworthy fence
+        return float(jnp.sum(out["scores"].astype(jnp.float32)))
+
+    force(predict(imgs))          # compile + warmup
+    force(predict(imgs))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = predict(imgs)
-    jax.block_until_ready(out)
+    force(out)
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
 
