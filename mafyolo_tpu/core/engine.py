@@ -44,7 +44,8 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.world_size = self.mesh.devices.size * max(1, jax.process_count())
         if self.batch_size % self.mesh.devices.size:
-            raise ValueError("global batch size must divide the device count")
+            raise ValueError(
+                "device count must divide the global batch size")
 
         self.graph = getattr(cfg.model, "graph", None) or cfg.model.get(
             "yaml_file", "maf-yolo-n")

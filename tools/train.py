@@ -53,6 +53,11 @@ def get_args_parser():
     p.add_argument("--device-aug", action="store_true",
                    help="run affine/HSV/flip augmentation on device "
                         "(host does letterbox only; mosaic disabled)")
+    p.add_argument("--quant", action="store_true",
+                   help="INT8 flow (reference tools/train.py --quant): with"
+                        " --calib runs PTQ calibration via tools/quantize.py")
+    p.add_argument("--calib", action="store_true",
+                   help="run PTQ calibration instead of training")
     p.add_argument("--device-count", type=int, default=None,
                    help="limit mesh to the first N local devices")
     return p
@@ -80,6 +85,15 @@ def main(args):
     save_yaml({k: v for k, v in vars(args).items() if not callable(v)},
               osp.join(args.save_dir, "args.yaml"))
     LOGGER.info(f"save dir: {args.save_dir}")
+    if args.quant and args.calib:
+        # PTQ calibration path (reference engine.calibrate, engine.py:581-598)
+        import tools.quantize as Q
+        qargs = Q.get_args_parser().parse_args([
+            "--weights", args.pretrained or "",
+            "--data", args.data_path, "--img-size", str(args.img_size),
+            "--batch-size", str(args.batch_size), "--eval"])
+        Q.run(qargs)
+        return
     mesh = make_mesh(args.device_count)
     trainer = Trainer(args, cfg, data_dict, mesh=mesh)
     trainer.train()
