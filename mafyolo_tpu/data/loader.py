@@ -15,7 +15,7 @@ TPU feeding:
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -29,7 +29,7 @@ Design choices (TPU-first, not a port):
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

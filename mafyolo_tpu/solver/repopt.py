@@ -11,7 +11,7 @@ Kernels here are HWIO; masks broadcast over the O (last) axis.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

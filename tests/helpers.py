@@ -6,7 +6,6 @@ one class per color -- learnable by a detector in a handful of steps.
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import cv2

@@ -2,7 +2,6 @@
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from mafyolo_tpu.models import build_model
 from mafyolo_tpu.models.reparam import fold_variables
