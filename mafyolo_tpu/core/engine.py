@@ -19,7 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mafyolo_tpu.core.evaler import run_eval
-from mafyolo_tpu.core.train_state import init_train_state, make_train_step
+from mafyolo_tpu.core.flatten import make_flatteners
+from mafyolo_tpu.core.train_state import (flatten_into_state, init_train_state,
+                                          make_train_step)
 from mafyolo_tpu.data import create_dataloader
 from mafyolo_tpu.models import build_model
 from mafyolo_tpu.parallel.mesh import data_sharding, is_main_process, make_mesh
@@ -93,27 +95,30 @@ class Trainer:
             round(solver.warmup_epochs * self.max_stepnum), 1000) \
             if solver.warmup_epochs else 0
 
-        # state
+        # state (hot buffers flat, see core/flatten.py; checkpoints stay pytrees)
+        self._pf, self._sf, _ = make_flatteners(self.model, self.img_size)
         state = init_train_state(self.model, jax.random.PRNGKey(args.seed),
                                  self.img_size)
         if getattr(args, "pretrained", None):
             ckpt = load_checkpoint(args.pretrained)
-            state["params"] = load_shape_matched(state["params"],
-                                                 ckpt["model"]["params"])
-            state["ema"]["params"] = jax.tree.map(lambda a: np.array(a),
-                                                  state["params"])
+            matched = load_shape_matched(
+                self._pf.unflatten(state["params"]), ckpt["model"]["params"])
+            state = flatten_into_state(
+                self.model, self.img_size, state, params=matched,
+                ema={"params": matched,
+                     "batch_stats": self._sf.unflatten(
+                         state["ema"]["batch_stats"])})
         self.start_epoch = 0
         if getattr(args, "resume", None):
             path = args.resume if isinstance(args.resume, str) else \
                 find_latest_checkpoint(self.save_dir)
             if path:
                 ckpt = load_checkpoint(path)
-                state["params"] = ckpt["model"]["params"]
+                state = flatten_into_state(
+                    self.model, self.img_size, state,
+                    params=ckpt["model"]["params"],
+                    ema=ckpt.get("ema") or None, mom=ckpt.get("opt"))
                 state["batch_stats"] = ckpt["model"]["batch_stats"]
-                if ckpt.get("ema"):
-                    state["ema"] = ckpt["ema"]
-                if ckpt.get("opt") is not None:
-                    state["mom"] = ckpt["opt"]
                 state["updates"] = jnp.asarray(ckpt.get("updates", 0), jnp.int32)
                 self.start_epoch = int(ckpt.get("epoch", -1)) + 1
                 LOGGER.info(f"resumed from {path} at epoch {self.start_epoch}")
@@ -263,11 +268,15 @@ class Trainer:
                      or epoch == self.epochs - 1)
         if not will_save:
             return
+        ema_vars = {
+            "params": self._pf.unflatten(self.state["ema"]["params"]),
+            "batch_stats": self._sf.unflatten(
+                self.state["ema"]["batch_stats"])}
         ckpt = {
-            "model": {"params": self.state["params"],
+            "model": {"params": self._pf.unflatten(self.state["params"]),
                       "batch_stats": self.state["batch_stats"]},
-            "ema": self.state["ema"],
-            "opt": self.state["mom"],
+            "ema": ema_vars,
+            "opt": self._pf.unflatten(self.state["mom"]),
             "updates": int(self.state["updates"]),
             "epoch": epoch,
             "meta": {"graph": self.graph, "nc": self.nc,
@@ -277,9 +286,7 @@ class Trainer:
         }
         if do_eval:
             metrics = run_eval(
-                self.graph, {"params": self.state["ema"]["params"],
-                             "batch_stats": self.state["ema"]["batch_stats"]},
-                self.nc, self.data_dict, folded=False,
+                self.graph, ema_vars, self.nc, self.data_dict, folded=False,
                 img_size=self.img_size,
                 batch_size=min(self.batch_size * 2, 64), task="val",
                 half=jax.default_backend() != "cpu",

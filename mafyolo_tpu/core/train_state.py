@@ -22,36 +22,71 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from mafyolo_tpu.core.flatten import Flattener, make_flatteners
 from mafyolo_tpu.models.losses import detection_loss
-from mafyolo_tpu.solver.build import param_groups, sgd_init, sgd_update
-from mafyolo_tpu.utils.ema import ema_update
+from mafyolo_tpu.solver.build import GROUP_BIAS, GROUP_BNW, GROUP_WEIGHT
 
 
 def init_train_state(model, rng, img_size: int, local_batch: int = 1) -> Dict:
     """Build the full state in ONE jitted call.
 
+    Hot buffers (params / momentum / grad-acc / EMA) are stored as flat f32
+    vectors (core/flatten.py) so the optimizer+EMA update is a few large fused
+    kernels instead of ~420 per-leaf ops. batch_stats stays a pytree (flax
+    mutates it through model.apply); its EMA copy is flat.
+
     Eager init dispatches one device op per parameter -- catastrophically slow
-    over a tunneled chip (each tiny op is a remote compile). ema/params may alias
-    buffers: the train step does not donate its inputs.
+    over a tunneled chip (each tiny op is a remote compile) -- so everything
+    happens inside one jit.
     """
+    pf, sf, _ = make_flatteners(model, img_size)
     x = jnp.zeros((1, img_size, img_size, 3), model.dtype)
 
     @jax.jit
     def mk(rng):
         variables = model.init(rng, x, train=False)
-        params = variables["params"]
+        flat = pf.flatten(variables["params"])
         stats = variables.get("batch_stats", {})
         return {
-            "params": params,
+            "params": flat,
             "batch_stats": stats,
-            "ema": {"params": params, "batch_stats": stats},
-            "mom": sgd_init(params),
-            "grad_acc": sgd_init(params),
+            "ema": {"params": flat, "batch_stats": sf.flatten(stats)},
+            "mom": jnp.zeros_like(flat),
+            "grad_acc": jnp.zeros_like(flat),
             "updates": jnp.zeros((), jnp.int32),
             "rng_step": jnp.zeros((), jnp.int32),
         }
 
     return mk(rng)
+
+
+def params_pytree(model, img_size: int, state: Dict):
+    """Current (non-EMA) params as a pytree, e.g. for checkpointing."""
+    pf, _, _ = make_flatteners(model, img_size)
+    return pf.unflatten(state["params"])
+
+
+def ema_eval_variables(model, img_size: int, state: Dict) -> Dict:
+    """EMA weights as flax variables for evaluation."""
+    pf, sf, _ = make_flatteners(model, img_size)
+    return {"params": pf.unflatten(state["ema"]["params"]),
+            "batch_stats": sf.unflatten(state["ema"]["batch_stats"])}
+
+
+def flatten_into_state(model, img_size: int, state: Dict, *,
+                       params=None, ema=None, mom=None) -> Dict:
+    """Replace state buffers from pytrees (resume / pretrained load)."""
+    pf, sf, _ = make_flatteners(model, img_size)
+    out = dict(state)
+    if params is not None:
+        out["params"] = pf.flatten(params)
+    if ema is not None:
+        out["ema"] = {"params": pf.flatten(ema["params"]),
+                      "batch_stats": sf.flatten(ema.get("batch_stats", {}))}
+    if mom is not None:
+        out["mom"] = pf.flatten(mom) if isinstance(mom, dict) else \
+            jnp.asarray(mom, jnp.float32)
+    return out
 
 
 def make_train_step(model, *, num_classes: int, img_size: int,
@@ -63,8 +98,15 @@ def make_train_step(model, *, num_classes: int, img_size: int,
                     teacher=None, max_epoch: int = 300,
                     distill_feat: bool = False, temperature: float = 20.0):
     """Returns step(state, imgs_u8, targets, lr_bnw, lr_w, lr_b, momentum,
-    do_apply, use_atss) -> (state, metrics)."""
-    groups_template: Dict[str, Any] = {}
+    do_apply, use_atss) -> (state, metrics).
+
+    The optimizer/EMA update is branchless (arithmetic selects on the traced
+    do_apply scalar) over flat buffers: round 1's lax.cond over the full
+    ~420-leaf state tuple forced XLA to materialize per-leaf copies on both
+    branches (~290ms/step, and 1.1s on the accumulate-only branch).
+    """
+    pf, sf, gids_np = make_flatteners(model, img_size)
+    gids = jnp.asarray(gids_np)  # int8, one id per scalar element
 
     base_key = jax.random.PRNGKey(seed ^ 0x5DEECE66D)
 
@@ -112,32 +154,39 @@ def make_train_step(model, *, num_classes: int, img_size: int,
                     use_dfl=use_dfl, iou_type=iou_type, loss_weight=loss_weight)
             return total, (comps, mut["batch_stats"])
 
+        params_tree = pf.unflatten(state["params"])
         (loss, (comps, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state["params"])
-        grad_acc = jax.tree.map(jnp.add, state["grad_acc"], grads)
-        groups = param_groups(state["params"])
+            loss_fn, has_aux=True)(params_tree)
+        acc = state["grad_acc"] + pf.flatten(grads)
 
-        def apply_fn(op):
-            params, mom, grad_acc, ema, updates = op
-            new_params, new_mom = sgd_update(
-                params, grad_acc, mom, groups, (lr_bnw, lr_w, lr_b), momentum,
-                weight_decay)
-            new_updates = updates + 1
-            new_ema = ema_update(
-                ema, {"params": new_params, "batch_stats": new_stats},
-                new_updates, ema_decay)
-            zero = jax.tree.map(jnp.zeros_like, grad_acc)
-            return new_params, new_mom, zero, new_ema, new_updates
+        # torch-SGD-nesterov over flat buffers: g = grad + wd*p (weight group
+        # only); buf = m*buf + g; step = g + m*buf; p -= lr[group]*step.
+        p, mom_buf = state["params"], state["mom"]
+        g = acc + (weight_decay * (gids == GROUP_WEIGHT)) * p
+        buf = momentum * mom_buf + g
+        delta = g + momentum * buf
+        lr_flat = jnp.where(gids == GROUP_BIAS, lr_b,
+                            jnp.where(gids == GROUP_BNW, lr_bnw, lr_w))
+        # where (not 0/1 scaling): a non-finite grad must not poison params on
+        # accumulate-only steps
+        new_p = jnp.where(do_apply, p - lr_flat * delta, p)
+        new_mom = jnp.where(do_apply, buf, mom_buf)
+        new_acc = jnp.where(do_apply, jnp.zeros_like(acc), acc)
+        new_updates = state["updates"] + do_apply.astype(jnp.int32)
 
-        def keep_fn(op):
-            return op
+        # EMA ramp d = decay*(1-exp(-updates/2000)), params AND BN stats,
+        # only on optimizer steps (yolov6/utils/ema.py:11-38, engine.py:386-390)
+        d = ema_decay * (1.0 - jnp.exp(-new_updates.astype(jnp.float32) / 2000.0))
+        ema_p, ema_s = state["ema"]["params"], state["ema"]["batch_stats"]
+        new_ema_p = jnp.where(do_apply, ema_p * d + (1.0 - d) * new_p, ema_p)
+        stats_flat = sf.flatten(new_stats)
+        new_ema_s = jnp.where(do_apply, ema_s * d + (1.0 - d) * stats_flat,
+                              ema_s)
 
-        params, mom, grad_acc, ema, updates = jax.lax.cond(
-            do_apply, apply_fn, keep_fn,
-            (state["params"], state["mom"], grad_acc, state["ema"],
-             state["updates"]))
-        new_state = {"params": params, "batch_stats": new_stats, "ema": ema,
-                     "mom": mom, "grad_acc": grad_acc, "updates": updates,
+        new_state = {"params": new_p, "batch_stats": new_stats,
+                     "ema": {"params": new_ema_p, "batch_stats": new_ema_s},
+                     "mom": new_mom, "grad_acc": new_acc,
+                     "updates": new_updates,
                      "rng_step": state["rng_step"] + 1}
         metrics = {"loss": loss, **comps}
         return new_state, metrics

@@ -36,11 +36,13 @@ def test_trainer_two_epochs(tmp_path):
     args = _Args()
     args.save_dir = str(tmp_path / "run")
     trainer = Trainer(args, cfg, data_dict)
-    p0 = np.asarray(
-        trainer.state["params"]["net"]["layer31"]["cls_pred"]["bias"]).copy()
+    def pred_bias():
+        tree = trainer._pf.unflatten(trainer.state["params"])
+        return np.asarray(tree["net"]["layer31"]["cls_pred"]["bias"])
+
+    p0 = pred_bias().copy()
     trainer.train()
-    p1 = np.asarray(
-        trainer.state["params"]["net"]["layer31"]["cls_pred"]["bias"])
+    p1 = pred_bias()
     assert not np.array_equal(p0, p1), "no parameter movement after 2 epochs"
     assert int(trainer.state["updates"]) > 0
     import os

@@ -95,9 +95,11 @@ def test_train_step_accumulate_and_apply():
 
     # note: at init the pred-conv weights are zero (reference init), so gradients
     # only reach the pred layers on the first step; check movement there.
+    from mafyolo_tpu.core.train_state import params_pytree
+
     def pred_bias(s):
         return np.asarray(
-            s["params"]["net"]["layer31"]["cls_pred"]["bias"])
+            params_pytree(m, 64, s)["net"]["layer31"]["cls_pred"]["bias"])
 
     p0 = pred_bias(state)
     # accumulate-only step: params unchanged, grad_acc nonzero, updates unchanged
