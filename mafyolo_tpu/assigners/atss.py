@@ -48,7 +48,9 @@ def atss_assign(anc_bboxes, n_level_bboxes, gt_labels, gt_bboxes, mask_gt,
     for level_count in n_level_bboxes:
         k = min(topk, level_count)
         level_dist = jax.lax.dynamic_slice_in_dim(distances, start, level_count, axis=2)
-        _, idx = jax.lax.top_k(-level_dist, k)                 # nearest k, [B,N,k]
+        # 2D reshape: batched-3D top_k lowers ~7x slower on TPU
+        _, idx = jax.lax.top_k(-level_dist.reshape(b * n, level_count), k)
+        idx = idx.reshape(b, n, k)                             # nearest k, [B,N,k]
         candidate_idxs.append(idx + start)
         topk_valid = jnp.broadcast_to(valid, idx.shape)
         is_in_candidate.append(dedup_topk_mask(idx, topk_valid, level_count))

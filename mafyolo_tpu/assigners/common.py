@@ -9,14 +9,19 @@ import jax.numpy as jnp
 
 
 def iou_batched(box1, box2, eps: float = 1e-9):
-    """Pairwise IoU: box1 [B,N,4] x box2 [B,M,4] -> [B,N,M] (assigner_utils.py:69-89)."""
-    b1 = box1[:, :, None, :]
-    b2 = box2[:, None, :, :]
-    lt = jnp.maximum(b1[..., :2], b2[..., :2])
-    rb = jnp.minimum(b1[..., 2:], b2[..., 2:])
-    overlap = jnp.clip(rb - lt, 0).prod(-1)
-    area1 = jnp.clip(b1[..., 2:] - b1[..., :2], 0).prod(-1)
-    area2 = jnp.clip(b2[..., 2:] - b2[..., :2], 0).prod(-1)
+    """Pairwise IoU: box1 [B,N,4] x box2 [B,M,4] -> [B,N,M] (assigner_utils.py:69-89).
+
+    Coordinate-wise (no [B,N,M,2] stacking): every op is [B,N,M] or smaller, so
+    XLA fuses the whole thing into one loop — the stacked form materialized
+    multiple [B,N,M,2] temporaries (~0.5GB at B32/N120/A8400).
+    """
+    x11, y11, x12, y12 = (box1[..., i][:, :, None] for i in range(4))
+    x21, y21, x22, y22 = (box2[..., i][:, None, :] for i in range(4))
+    ow = jnp.clip(jnp.minimum(x12, x22) - jnp.maximum(x11, x21), 0)
+    oh = jnp.clip(jnp.minimum(y12, y22) - jnp.maximum(y11, y21), 0)
+    overlap = ow * oh
+    area1 = jnp.clip(x12 - x11, 0) * jnp.clip(y12 - y11, 0)
+    area2 = jnp.clip(x22 - x21, 0) * jnp.clip(y22 - y21, 0)
     return overlap / (area1 + area2 - overlap + eps)
 
 
@@ -36,10 +41,13 @@ def candidates_in_gts(xy_centers, gt_bboxes, eps: float = 1e-9):
 
     xy_centers [A,2], gt_bboxes [B,N,4] -> [B,N,A] float mask.
     """
-    lt_delta = xy_centers[None, None, :, :] - gt_bboxes[:, :, None, :2]
-    rb_delta = gt_bboxes[:, :, None, 2:] - xy_centers[None, None, :, :]
-    deltas = jnp.concatenate([lt_delta, rb_delta], axis=-1)
-    return (deltas.min(-1) > eps).astype(gt_bboxes.dtype)
+    xc = xy_centers[None, None, :, 0]
+    yc = xy_centers[None, None, :, 1]
+    x1, y1, x2, y2 = (gt_bboxes[..., i][:, :, None] for i in range(4))
+    # min(xc-x1, yc-y1, x2-xc, y2-yc) > eps, without the [B,N,A,4] concat
+    inside = ((xc - x1 > eps) & (yc - y1 > eps)
+              & (x2 - xc > eps) & (y2 - yc > eps))
+    return inside.astype(gt_bboxes.dtype)
 
 
 def resolve_conflicts(mask_pos, overlaps):
@@ -52,8 +60,9 @@ def resolve_conflicts(mask_pos, overlaps):
     fg_mask = mask_pos.sum(-2)
     mask_multi = (fg_mask[:, None, :] > 1)
     max_idx = jnp.argmax(overlaps, axis=1)                     # [B,A]
-    is_max = jnp.moveaxis(
-        jnp.eye(n_max_boxes, dtype=overlaps.dtype)[max_idx], -1, 1)  # [B,N,A]
+    # broadcast compare instead of eye-gather + transpose (both copy [B,N,A])
+    is_max = (jnp.arange(n_max_boxes)[None, :, None]
+              == max_idx[:, None, :]).astype(overlaps.dtype)   # [B,N,A]
     mask_pos = jnp.where(mask_multi, is_max, mask_pos)
     fg_mask = mask_pos.sum(-2)
     target_gt_idx = jnp.argmax(mask_pos, axis=-2)

