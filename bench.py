@@ -22,9 +22,8 @@ PEAK_TFLOPS = {"tpu": 197.0, "cpu": 0.5}   # v5e bf16 peak; cpu nominal
 
 def main():
     from mafyolo_tpu.models import build_model
-    from mafyolo_tpu.models.detect import decode_eval
     from mafyolo_tpu.models.reparam import fold_variables
-    from mafyolo_tpu.ops.nms import batched_nms
+    from mafyolo_tpu.ops.nms import fused_decode_nms
 
     backend = jax.default_backend()
     on_accel = backend != "cpu"
@@ -35,6 +34,8 @@ def main():
     train_model = build_model("maf-yolo-n", nc=80)
     variables = jax.jit(train_model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    # plain stem (s2d measured slower on v5e, tools/profile_infer.py) + fused
+    # decode->NMS (ops/nms.fused_decode_nms)
     folded = jax.device_put(fold_variables(train_model.specs, variables))
     model = build_model("maf-yolo-n", nc=80, deploy=True, dtype=dtype)
 
@@ -42,8 +43,9 @@ def main():
     def predict(imgs_u8):
         x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
         outs = model.apply(folded, x, train=False)
-        pred = decode_eval(outs, strides=model.strides, reg_max=model.reg_max)
-        return batched_nms(pred, conf_thres=0.03, iou_thres=0.65, max_det=300)
+        return fused_decode_nms(outs, strides=model.strides,
+                                reg_max=model.reg_max, conf_thres=0.03,
+                                iou_thres=0.65, max_det=300)
 
     imgs = jnp.asarray(np.random.default_rng(0).integers(
         0, 255, (batch, 640, 640, 3), dtype=np.uint8))

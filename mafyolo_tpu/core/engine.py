@@ -53,12 +53,17 @@ class Trainer:
             "yaml_file", "maf-yolo-n")
         dtype = jnp.bfloat16 if getattr(args, "bf16", True) and \
             jax.default_backend() != "cpu" else jnp.float32
+        # cfg.training_mode == 'repopt' trains the plain (RealVGG) graph under
+        # gradient masks instead of the multi-branch RepVGG blocks
+        # (reference engine.py:60-63, RepOptimizer.py:84-152)
+        self.training_mode = cfg.get("training_mode", "repvgg")
         # per-block remat: without it the whole-graph backward compiles to a
         # multi-GB executable on TPU (docs/STATUS.md); with it, 157MB and fast
         self.model = build_model(self.graph, nc=self.nc,
                                  reg_max=cfg.model.head.reg_max,
                                  strides=tuple(cfg.model.head.strides),
                                  remat=bool(getattr(args, "remat", True)),
+                                 plain_rep=self.training_mode == "repopt",
                                  dtype=dtype)
 
         # solver scaling rules (engine.py:491-496)
@@ -108,6 +113,29 @@ class Trainer:
                 ema={"params": matched,
                      "batch_stats": self._sf.unflatten(
                          state["ema"]["batch_stats"])})
+        self.grad_mask = None
+        if self.training_mode == "repopt":
+            # scales from the hyper-search checkpoint (engine.py:465-472);
+            # reinit only when training from scratch (engine.py:62)
+            from mafyolo_tpu.solver.repopt import load_scales, repopt_prepare
+            scales_path = cfg.model.get("scales")
+            if not scales_path:
+                raise ValueError(
+                    "training_mode='repopt' needs cfg.model.scales "
+                    "(hyper-search checkpoint with LinearAddBlock scales)")
+            scales = load_scales(scales_path)
+            params = self._pf.unflatten(state["params"])
+            params, mask_tree = repopt_prepare(
+                params, scales, np.random.default_rng(args.seed),
+                reinit=not getattr(args, "pretrained", None))
+            state = flatten_into_state(
+                self.model, self.img_size, state, params=params,
+                ema={"params": params,
+                     "batch_stats": self._sf.unflatten(
+                         state["ema"]["batch_stats"])})
+            self.grad_mask = self._pf.flatten(mask_tree)
+            LOGGER.info(f"repopt: {len(scales)} plain RepVGG convs "
+                        f"re-initialized and grad-masked")
         self.start_epoch = 0
         if getattr(args, "resume", None):
             path = args.resume if isinstance(args.resume, str) else \
@@ -120,6 +148,8 @@ class Trainer:
                     ema=ckpt.get("ema") or None, mom=ckpt.get("opt"))
                 state["batch_stats"] = ckpt["model"]["batch_stats"]
                 state["updates"] = jnp.asarray(ckpt.get("updates", 0), jnp.int32)
+                state["wiou_mean"] = jnp.asarray(ckpt.get("wiou_mean", 1.0),
+                                                 jnp.float32)
                 self.start_epoch = int(ckpt.get("epoch", -1)) + 1
                 LOGGER.info(f"resumed from {path} at epoch {self.start_epoch}")
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -147,6 +177,7 @@ class Trainer:
             use_dfl=cfg.model.head.use_dfl, iou_type=cfg.model.head.iou_type,
             weight_decay=self.weight_decay, mesh=self.mesh, loss_type=loss_type,
             device_aug=self.device_aug, seed=args.seed, teacher=teacher,
+            grad_mask=self.grad_mask,
             max_epoch=self.epochs,
             distill_feat=bool(getattr(args, "distill_feat", False)),
             temperature=float(getattr(args, "temperature", 20.0)))
@@ -182,10 +213,21 @@ class Trainer:
                 self.eval_and_save(epoch)
             LOGGER.info(f"training done in {(time.time() - t0) / 3600:.2f}h; "
                         f"best AP {self.best_ap:.4f}")
+            self.strip_models()
         except Exception:
             LOGGER.error("training failed")
             raise
         return self.best_ap
+
+    def strip_models(self):
+        """Post-train optimizer strip (engine.py:364-368 strip_optimizer): after
+        the final epoch, promote EMA->model and drop opt state in the saved
+        best/last/stop-aug checkpoints, halving them for deployment."""
+        from mafyolo_tpu.utils.checkpoint import strip_checkpoint
+        for name in ("best_ckpt", "last_ckpt", "best_stop_aug_ckpt"):
+            path = osp.join(self.save_dir, f"{name}.npck")
+            if osp.exists(path):
+                strip_checkpoint(path)
 
     def prepare_for_steps(self, epoch: int):
         """Aug shutoff near the end (engine.py:328-345): rebuild the loader with
@@ -278,6 +320,7 @@ class Trainer:
             "ema": ema_vars,
             "opt": self._pf.unflatten(self.state["mom"]),
             "updates": int(self.state["updates"]),
+            "wiou_mean": float(self.state["wiou_mean"]),
             "epoch": epoch,
             "meta": {"graph": self.graph, "nc": self.nc,
                      "img_size": self.img_size,
@@ -285,9 +328,12 @@ class Trainer:
                      "strides": list(self.cfg.model.head.strides)},
         }
         if do_eval:
+            # rect=True matches the reference's mid-train protocol (its Evaler
+            # builds a rect loader, yolov6/core/evaler.py:115-133) so per-epoch
+            # AP tracks the final eval protocol
             metrics = run_eval(
                 self.graph, ema_vars, self.nc, self.data_dict, folded=False,
-                img_size=self.img_size,
+                img_size=self.img_size, rect=True,
                 batch_size=min(self.batch_size * 2, 64), task="val",
                 half=jax.default_backend() != "cpu",
                 workers=self.args.workers)

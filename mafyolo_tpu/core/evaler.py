@@ -22,9 +22,8 @@ import numpy as np
 
 from mafyolo_tpu.data import create_dataloader
 from mafyolo_tpu.models import build_model
-from mafyolo_tpu.models.detect import decode_eval
 from mafyolo_tpu.models.reparam import fold_variables
-from mafyolo_tpu.ops.nms import batched_nms
+from mafyolo_tpu.ops.nms import fused_decode_nms
 from mafyolo_tpu.utils.coco_eval import COCOEvaluator
 from mafyolo_tpu.utils.events import LOGGER
 
@@ -44,7 +43,10 @@ class Evaler:
                  max_det: int = 300, task: str = "val", rect: bool = False,
                  half: bool = True, test_load_size: Optional[int] = None,
                  letterbox_return_int: bool = False, scale_exact: bool = False,
-                 force_no_pad: bool = False, workers: int = 8, verbose: bool = False):
+                 force_no_pad: bool = False, workers: int = 8,
+                 verbose: bool = False, do_coco_metric: bool = True,
+                 do_pr_metric: bool = False,
+                 plot_confusion_matrix: bool = False, save_dir: str = "."):
         self.data = data_dict
         self.img_size = img_size
         self.batch_size = batch_size
@@ -60,20 +62,35 @@ class Evaler:
         self.force_no_pad = force_no_pad
         self.workers = workers
         self.verbose = verbose
+        self.do_coco_metric = do_coco_metric
+        self.do_pr_metric = do_pr_metric
+        self.plot_confusion_matrix = plot_confusion_matrix
+        self.save_dir = save_dir
+        self.pr_metric_result = (0.0, 0.0)
         self.is_coco = bool(data_dict.get("is_coco", False))
         self.ids = coco80_to_coco91_class() if self.is_coco else list(range(10000))
         self.speed_result = np.zeros(4)
 
     # ---------- model ----------
 
-    def init_model(self, graph, variables, nc: int, folded: bool = False):
+    def init_model(self, graph, variables, nc: int, folded: bool = False,
+                   s2d_stem: bool = False):
         """Build the deploy-form model; fold train-form variables if given
-        (the re-param moment, evaler.py:101-113)."""
+        (the re-param moment, evaler.py:101-113).
+
+        s2d_stem: deploy with the space-to-depth stem (blocks.S2DStem) --
+        numerically identical to the folded RepVGG stem. Off by default:
+        measured SLOWER than the plain stem on v5e (16.5 vs 15.2 ms/batch32,
+        tools/profile_infer.py; XLA already handles the C=3 stem well).
+        """
         dtype = jnp.bfloat16 if self.half else jnp.float32
-        model = build_model(graph, nc=nc, deploy=True, dtype=dtype)
+        use_s2d = s2d_stem and not folded
+        model = build_model(graph, nc=nc, deploy=True, s2d_stem=use_s2d,
+                            dtype=dtype)
         if not folded:
             train_model = build_model(graph, nc=nc)
-            variables = fold_variables(train_model.specs, variables)
+            variables = fold_variables(train_model.specs, variables,
+                                       s2d_stem=use_s2d)
         self.model = model
         self.variables = jax.device_put(variables)
         self.nc = nc
@@ -82,9 +99,13 @@ class Evaler:
         def predict(imgs_u8):
             x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
             outs = model.apply(self.variables, x, train=False)
-            pred = decode_eval(outs, strides=model.strides, reg_max=model.reg_max)
-            return batched_nms(pred, conf_thres=self.conf_thres,
-                               iou_thres=self.iou_thres, max_det=self.max_det)
+            # fused decode+NMS: top-M anchor prefilter on the raw score maps,
+            # DFL decode only on survivors (ops/nms.fused_decode_nms; exactness
+            # vs decode_eval+batched_nms tested in tests/test_nms.py)
+            return fused_decode_nms(
+                outs, strides=model.strides, reg_max=model.reg_max,
+                conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                max_det=self.max_det)
 
         self._predict = predict
         return model
@@ -129,11 +150,21 @@ class Evaler:
         return coords
 
     def predict_model(self, loader) -> List[Dict]:
-        """Timed prediction loop -> COCO-format detection dicts (evaler.py:135-273)."""
+        """Timed prediction loop -> COCO-format detection dicts (evaler.py:135-273).
+
+        With do_pr_metric: per-image TP matching at IoU 0.5:0.95 in native image
+        space (the yolov5-lineage block at evaler.py:188-244), accumulated into
+        self._pr_stats for compute_pr_metrics()."""
         pred_results: List[Dict] = []
         self.speed_result = np.zeros(4)
         sample_offset = 0
-        for imgs, _, shapes in loader:
+        iouv = np.linspace(0.5, 0.95, 10)
+        self._pr_stats = []
+        self._pr_seen = 0
+        if self.plot_confusion_matrix:
+            from mafyolo_tpu.utils.metrics import ConfusionMatrix
+            self.confusion_matrix = ConfusionMatrix(nc=self.nc)
+        for imgs, targets, shapes in loader:
             n = imgs.shape[0]
             t0 = time.time()
             imgs_dev = jax.device_put(imgs)
@@ -149,9 +180,9 @@ class Evaler:
             for i in range(n):
                 ds_index = sample_offset + i
                 k = int(valid[i].sum())
+                img_hw = imgs.shape[1:3]
+                b = boxes[i, :k].copy()
                 if k:
-                    b = boxes[i, :k].copy()
-                    img_hw = imgs.shape[1:3]
                     self.scale_coords(img_hw, b, shapes[i][0], shapes[i][1])
                     image_id = self.dataset.image_id(ds_index)
                     xywh = np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], -1)
@@ -162,6 +193,9 @@ class Evaler:
                             else int(classes[i, j]),
                             bbox=[round(float(v), 3) for v in xywh[j]],
                             score=round(float(scores[i, j]), 5)))
+                if self.do_pr_metric:
+                    self._accumulate_pr(i, k, b, scores, classes, targets,
+                                        img_hw, shapes[i], iouv)
             sample_offset += n
             t3 = time.time()
             self.speed_result += np.array([n, (t1 - t0) * 1e3, (t2 - t1) * 1e3,
@@ -170,7 +204,90 @@ class Evaler:
 
     # ---------- metrics ----------
 
+    def _accumulate_pr(self, i, k, b_native, scores, classes, targets, img_hw,
+                       shape_i, iouv):
+        """Per-image stats tuple (correct, conf, pcls, tcls) in native space
+        (evaler.py:199-244)."""
+        from mafyolo_tpu.utils.metrics import process_batch
+        t = np.asarray(targets[i], np.float64)
+        t = t[t[:, 0] >= 0]                              # drop pad rows
+        nl = len(t)
+        tcls = t[:, 0].tolist() if nl else []
+        self._pr_seen += 1
+        if k == 0:
+            if nl:
+                self._pr_stats.append((np.zeros((0, len(iouv)), bool),
+                                       np.zeros(0), np.zeros(0), tcls))
+            return
+        predn = np.concatenate(
+            [b_native, np.asarray(scores[i, :k])[:, None],
+             np.asarray(classes[i, :k], np.float64)[:, None]], -1)
+        correct = np.zeros((k, len(iouv)), bool)
+        if nl:
+            xy, wh = t[:, 1:3], t[:, 3:5]
+            tbox = np.concatenate([xy - wh / 2, xy + wh / 2], -1)
+            tbox[:, [0, 2]] *= img_hw[1]
+            tbox[:, [1, 3]] *= img_hw[0]
+            self.scale_coords(img_hw, tbox, shape_i[0], shape_i[1])
+            labelsn = np.concatenate([t[:, 0:1], tbox], 1)
+            correct = process_batch(predn, labelsn, iouv)
+            if self.plot_confusion_matrix:
+                self.confusion_matrix.process_batch(predn, labelsn)
+        self._pr_stats.append((correct, predn[:, 4], predn[:, 5], tcls))
+
+    def compute_pr_metrics(self, class_names=None) -> Dict[str, float]:
+        """P/R/F1/mAP at the best-F1 confidence (evaler.py:246-271). Sets
+        self.pr_metric_result = (mAP50, mAP50:95)."""
+        from mafyolo_tpu.utils.metrics import ap_per_class
+        stats = [np.concatenate([np.atleast_1d(np.asarray(x[j])) for x in
+                                 self._pr_stats], 0)
+                 if self._pr_stats else np.zeros(0)
+                 for j in range(4)]
+        if not len(stats) or not len(stats[0]) or not stats[0].any():
+            LOGGER.info("Calculate metric failed, might check dataset.")
+            self.pr_metric_result = (0.0, 0.0)
+            return {"P": 0.0, "R": 0.0, "F1": 0.0, "mAP50": 0.0, "mAP": 0.0}
+        stats[0] = stats[0].reshape(-1, 10)
+        p, r, ap, f1, ap_class = ap_per_class(*stats)
+        mf1 = f1.mean(0)
+        # the reference picks the LAST argmax of mean F1 (evaler.py:251)
+        best = len(mf1) - mf1[::-1].argmax() - 1
+        LOGGER.info(f"IOU 50 best mF1 threshold near {best / 1000.0}.")
+        ap50, ap_mean = ap[:, 0], ap.mean(1)
+        mp, mr = p[:, best].mean(), r[:, best].mean()
+        map50, map_ = ap50.mean(), ap_mean.mean()
+        nt = np.bincount(stats[3].astype(np.int64), minlength=self.nc)
+        s = ("%-16s" + "%12s" * 7) % ("Class", "Images", "Labels", "P@.5iou",
+                                      "R@.5iou", "F1@.5iou", "mAP@.5",
+                                      "mAP@.5:.95")
+        LOGGER.info(s)
+        pf = "%-16s" + "%12i" * 2 + "%12.3g" * 5
+        LOGGER.info(pf % ("all", self._pr_seen, nt.sum(), mp, mr, mf1[best],
+                          map50, map_))
+        names = class_names or self.data.get("names") or \
+            [str(c) for c in range(self.nc)]
+        if self.verbose and self.nc > 1:
+            for ci, c in enumerate(ap_class):
+                LOGGER.info(pf % (names[c], self._pr_seen, nt[c], p[ci, best],
+                                  r[ci, best], f1[ci, best], ap50[ci],
+                                  ap_mean[ci]))
+        self.pr_metric_result = (float(map50), float(map_))
+        if self.plot_confusion_matrix:
+            # reference renders a PNG (metrics.py ConfusionMatrix.plot); we
+            # persist the raw matrix, which carries the same information
+            out = Path(self.save_dir) / "confusion_matrix.csv"
+            np.savetxt(out, self.confusion_matrix.matrix, fmt="%d",
+                       delimiter=",",
+                       header=",".join(list(names) + ["background"]))
+            LOGGER.info(f"confusion matrix -> {out}")
+        return {"P": float(mp), "R": float(mr), "F1": float(mf1[best]),
+                "mAP50": float(map50), "mAP": float(map_)}
+
     def eval_model(self, pred_results: List[Dict]) -> Dict[str, float]:
+        pr = self.compute_pr_metrics() if self.do_pr_metric else {}
+        if not self.do_coco_metric:
+            # reference falls back to the PR-metric mAPs (evaler.py:355-360)
+            return {"AP": pr.get("mAP", 0.0), "AP50": pr.get("mAP50", 0.0), **pr}
         gt = self.dataset.coco_gt()
         if self.is_coco:
             for c in gt["categories"]:
@@ -179,11 +296,13 @@ class Evaler:
                 a["category_id"] = self.ids[a["category_id"]]
         if not pred_results:
             LOGGER.warning("no detections produced; AP = 0")
-            return {k: 0.0 for k in ("AP", "AP50", "AP75", "APs", "APm", "APl")}
+            return {**pr,
+                    **{k: 0.0 for k in ("AP", "AP50", "AP75", "APs", "APm",
+                                        "APl")}}
         metrics = COCOEvaluator(gt, pred_results).summarize()
         LOGGER.info("COCO eval: " + ", ".join(f"{k}={v:.4f}"
                                               for k, v in metrics.items()))
-        return metrics
+        return {**pr, **metrics}
 
     def report_speed(self):
         n, pre, inf, nms_post = self.speed_result

@@ -18,6 +18,7 @@ from typing import Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mafyolo_tpu.models import build_model
 from mafyolo_tpu.utils.events import LOGGER
@@ -31,12 +32,89 @@ def init_quant_tree(graph, nc: int, folded_params: Dict, img_size: int = 64):
     return variables["quant"]
 
 
-def ptq_calibrate(graph, nc: int, folded_params: Dict, batches: Iterable,
-                  max_batches: int = 32, dtype=jnp.float32) -> Dict:
-    """Run max-calibration over `batches` of uint8 NHWC images -> amax tree.
+def _iter_batches(batches, max_batches):
+    n = 0
+    for batch in batches:
+        yield batch[0] if isinstance(batch, tuple) else batch
+        n += 1
+        if n >= max_batches:
+            return
 
-    Mirrors ptq_calibrate/collect_stats/compute_amax with method='max'
-    (qat_utils.py:12-59).
+
+def amax_from_hist(hist, amax: float, method: str,
+                   percentile: float = 99.99) -> float:
+    """Reduce an |x| histogram over [0, amax] to a calibrated amax.
+
+    TPU-native equivalent of pytorch_quantization's HistogramCalibrator
+    reductions (compute_amax methods, dispatched from qat_utils.py:39-59):
+    'percentile' picks the edge covering that mass fraction; 'mse' minimizes
+    int8 reconstruction error; 'entropy' is the TensorRT KL-divergence sweep.
+    """
+    hist = np.asarray(hist, np.float64)
+    nbins = hist.size
+    edges = np.linspace(0.0, amax, nbins + 1)
+    centers = (edges[:-1] + edges[1:]) / 2
+    total = hist.sum()
+    if total == 0 or amax == 0:
+        return float(amax)
+    if method == "percentile":
+        cdf = np.cumsum(hist) / total
+        idx = int(np.searchsorted(cdf, percentile / 100.0))
+        return float(edges[min(idx + 1, nbins)])
+    if method == "mse":
+        best, best_err = amax, np.inf
+        for i in range(nbins // 16, nbins + 1, max(1, nbins // 256)):
+            cand = edges[i]
+            scale = cand / 127.0
+            q = np.clip(np.round(centers / scale), -128, 127) * scale
+            err = float((hist * (centers - q) ** 2).sum())
+            if err < best_err:
+                best, best_err = cand, err
+        return float(best)
+    if method == "entropy":
+        # TensorRT KL calibration: for each truncation point i, compare the
+        # clamped reference distribution against its 128-level quantization
+        nlevels = 128
+        best, best_kl = amax, np.inf
+        start = max(nlevels, nbins // 16)
+        for i in range(start, nbins + 1, max(1, nbins // 256)):
+            p = hist[:i].copy()
+            p[-1] += hist[i:].sum()
+            ref = p / p.sum()
+            # quantize: merge i bins into nlevels groups, spread back uniformly
+            # over the nonzero source bins
+            idx = (np.arange(i) * nlevels // i)
+            q = np.zeros(i)
+            nz = p > 0
+            sums = np.bincount(idx, weights=p, minlength=nlevels)
+            cnts = np.bincount(idx[nz], minlength=nlevels)
+            expand = np.where(cnts[idx] > 0, sums[idx] / np.maximum(cnts[idx], 1), 0)
+            q[nz] = expand[nz]
+            qs = q.sum()
+            if qs == 0:
+                continue
+            q /= qs
+            m = ref > 0
+            kl = float((ref[m] * np.log(ref[m] / np.maximum(q[m], 1e-12))).sum())
+            if kl < best_kl:
+                best, best_kl = edges[i], kl
+        return float(best)
+    raise ValueError(f"unknown amax method {method!r}")
+
+
+def ptq_calibrate(graph, nc: int, folded_params: Dict, batches: Iterable,
+                  max_batches: int = 32, dtype=jnp.float32,
+                  method: str = "max", percentile: float = 99.99,
+                  num_bins: int = 2048,
+                  skip_layers: Optional[Iterable[str]] = None) -> Dict:
+    """Run activation calibration over `batches` of uint8 NHWC images -> amax tree.
+
+    method='max' mirrors MaxCalibrator (qat_utils.py:12-59); 'percentile'/
+    'mse'/'entropy' run a second histogram pass anchored at the pass-1 max,
+    mirroring HistogramCalibrator + compute_amax(method=...). `batches` must be
+    re-iterable for histogram methods (a loader, or a list). skip_layers
+    disables quantization for matching layer paths (sensitive-layer skip,
+    qat_utils.py:61-146,148-157).
     """
     calib = build_model(graph, nc=nc, deploy=True, quant=True, calibrate=True,
                         dtype=dtype)
@@ -51,14 +129,113 @@ def ptq_calibrate(graph, nc: int, folded_params: Dict, batches: Iterable,
         return mut["quant"]
 
     n = 0
-    for batch in batches:
-        imgs = batch[0] if isinstance(batch, tuple) else batch
+    for imgs in _iter_batches(batches, max_batches):
         quant = step(quant, jnp.asarray(imgs))
         n += 1
-        if n >= max_batches:
-            break
-    LOGGER.info(f"PTQ calibration done over {n} batches")
-    return jax.device_get(quant)
+    LOGGER.info(f"PTQ max pass done over {n} batches")
+
+    if method != "max":
+        from mafyolo_tpu.models import blocks as _B
+        _B.CALIB_HIST_BINS = num_bins
+        try:
+            calib_h = build_model(graph, nc=nc, deploy=True, quant=True,
+                                  calibrate=True, dtype=dtype)
+            hq = init_quant_tree(graph, nc, folded_params, img_size=64)
+            # graft the pass-1 amax values into the histogram tree
+            hq = jax.tree_util.tree_map_with_path(
+                lambda p, leaf: _lookup(quant, p, leaf), hq)
+
+            @jax.jit
+            def hstep(quant_tree, imgs_u8):
+                x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
+                _, mut = calib_h.apply(
+                    {"params": folded_params["params"], "quant": quant_tree},
+                    x, train=False, mutable=["quant"])
+                return mut["quant"]
+
+            m = 0
+            for imgs in _iter_batches(batches, max_batches):
+                hq = hstep(hq, jnp.asarray(imgs))
+                m += 1
+            if m == 0:
+                raise ValueError("histogram calibration needs re-iterable "
+                                 "batches (got an exhausted iterator)")
+            LOGGER.info(f"PTQ histogram pass done over {m} batches "
+                        f"(method={method})")
+            quant = _reduce_hist_tree(jax.device_get(hq), method, percentile)
+        finally:
+            _B.CALIB_HIST_BINS = 0
+
+    quant = jax.device_get(quant)
+    if skip_layers:
+        quant = skip_sensitive_layers(quant, skip_layers)
+    return quant
+
+
+def _lookup(tree, path, default):
+    """Fetch the leaf at `path` from `tree`, else `default` (new hist leaves)."""
+    node = tree
+    for p in path:
+        key = getattr(p, "key", p)
+        if not isinstance(node, dict) or key not in node:
+            return default
+        node = node[key]
+    return node
+
+
+def _reduce_hist_tree(hq: Dict, method: str, percentile: float) -> Dict:
+    """{... act_amax, act_hist} -> {... act_amax} with histogram-reduced amax."""
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if "act_amax" in node and "act_hist" in node:
+            amax = float(np.asarray(node["act_amax"]))
+            new = amax_from_hist(node["act_hist"], amax, method, percentile)
+            return {"act_amax": np.float32(new)}
+        return {k: walk(v) for k, v in node.items()}
+    return walk(hq)
+
+
+def skip_sensitive_layers(quant_tree: Dict, names: Iterable[str]) -> Dict:
+    """Disable quantization for layers whose path contains any of `names`
+    (amax=0 passes activations through, models/blocks.fake_quant_sym).
+    Mirrors skip_sensitive_layers / cfg.ptq.sensitive_layers_list
+    (qat_utils.py:73-76,148-157)."""
+    names = list(names)
+    skipped = []
+
+    def mk(path, leaf):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        if any(n in key for n in names):
+            skipped.append(key)
+            return np.zeros_like(np.asarray(leaf))
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(mk, quant_tree)
+    LOGGER.info(f"sensitive-layer skip: {len(skipped)} quant vars disabled")
+    return out
+
+
+def quant_layer_names(quant_tree: Dict) -> list:
+    """Unique quantized-conv layer paths (amax parents), for sensitivity sweeps."""
+    names = []
+    for path, _ in jax.tree_util.tree_flatten_with_path(quant_tree)[0]:
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        if key.endswith("/act_amax"):
+            names.append(key[: -len("/act_amax")])
+    return sorted(set(names))
+
+
+def only_layer_quant(quant_tree: Dict, layer: str) -> Dict:
+    """amax tree with quantization enabled ONLY for `layer` (zero elsewhere) --
+    the per-layer step of the partial-quantization sensitivity sweep
+    (tools/partial_quantization/sensitivity_analyse.py:27-51)."""
+    def mk(path, leaf):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        if key.startswith(layer + "/"):
+            return leaf
+        return np.zeros_like(np.asarray(leaf))
+    return jax.tree_util.tree_map_with_path(mk, quant_tree)
 
 
 def qat_finetune(graph, nc: int, folded_params: Dict, quant_tree: Dict,

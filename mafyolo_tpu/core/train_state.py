@@ -55,6 +55,10 @@ def init_train_state(model, rng, img_size: int, local_batch: int = 1) -> Dict:
             "grad_acc": jnp.zeros_like(flat),
             "updates": jnp.zeros((), jnp.int32),
             "rng_step": jnp.zeros((), jnp.int32),
+            # Wise-IoU running mean (ops/boxes.wiou_loss; IoU_Cal.iou_mean,
+            # yolov6/utils/wiou.py:13). Carried unconditionally; inert unless
+            # iou_type == 'wiou'.
+            "wiou_mean": jnp.ones((), jnp.float32),
         }
 
     return mk(rng)
@@ -96,7 +100,8 @@ def make_train_step(model, *, num_classes: int, img_size: int,
                     loss_weight=None, mesh=None, loss_type: str = "tal",
                     device_aug: dict = None, seed: int = 0,
                     teacher=None, max_epoch: int = 300,
-                    distill_feat: bool = False, temperature: float = 20.0):
+                    distill_feat: bool = False, temperature: float = 20.0,
+                    grad_mask=None):
     """Returns step(state, imgs_u8, targets, lr_bnw, lr_w, lr_b, momentum,
     do_apply, use_atss) -> (state, metrics).
 
@@ -151,7 +156,8 @@ def make_train_step(model, *, num_classes: int, img_size: int,
                 total, comps = detection_loss(
                     outs, targets, use_atss=use_atss, num_classes=num_classes,
                     img_size=img_size, strides=strides, reg_max=reg_max,
-                    use_dfl=use_dfl, iou_type=iou_type, loss_weight=loss_weight)
+                    use_dfl=use_dfl, iou_type=iou_type, loss_weight=loss_weight,
+                    wiou_mean=state.get("wiou_mean"))
             return total, (comps, mut["batch_stats"])
 
         params_tree = pf.unflatten(state["params"])
@@ -161,8 +167,13 @@ def make_train_step(model, *, num_classes: int, img_size: int,
 
         # torch-SGD-nesterov over flat buffers: g = grad + wd*p (weight group
         # only); buf = m*buf + g; step = g + m*buf; p -= lr[group]*step.
+        # RepOptimizer: grad-mask multiplies the raw grad BEFORE weight decay
+        # (RepOptimizer.py step(): d_p = p.grad * mask, then d_p += wd*p).
+        # The mask is applied only to the step input, not to the stored
+        # accumulator, so multi-step accumulation masks exactly once.
+        masked = acc * grad_mask if grad_mask is not None else acc
         p, mom_buf = state["params"], state["mom"]
-        g = acc + (weight_decay * (gids == GROUP_WEIGHT)) * p
+        g = masked + (weight_decay * (gids == GROUP_WEIGHT)) * p
         buf = momentum * mom_buf + g
         delta = g + momentum * buf
         lr_flat = jnp.where(gids == GROUP_BIAS, lr_b,
@@ -183,11 +194,15 @@ def make_train_step(model, *, num_classes: int, img_size: int,
         new_ema_s = jnp.where(do_apply, ema_s * d + (1.0 - d) * stats_flat,
                               ema_s)
 
+        comps = dict(comps)
+        new_wiou = comps.pop("wiou_mean",
+                             state.get("wiou_mean", jnp.ones((), jnp.float32)))
         new_state = {"params": new_p, "batch_stats": new_stats,
                      "ema": {"params": new_ema_p, "batch_stats": new_ema_s},
                      "mom": new_mom, "grad_acc": new_acc,
                      "updates": new_updates,
-                     "rng_step": state["rng_step"] + 1}
+                     "rng_step": state["rng_step"] + 1,
+                     "wiou_mean": new_wiou}
         metrics = {"loss": loss, **comps}
         return new_state, metrics
 

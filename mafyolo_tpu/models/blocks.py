@@ -129,6 +129,12 @@ def fake_quant_sym(x, amax, bits: int = 8):
     return x + jax.lax.stop_gradient(q - x)   # STE for QAT
 
 
+# When nonzero, calibrate-mode _RawConv also accumulates an |x| histogram into
+# the 'quant' collection (set by core/quant.ptq_calibrate for histogram-based
+# amax methods; a module flag because it only affects calibration tracing).
+CALIB_HIST_BINS = 0
+
+
 class _RawConv(nn.Module):
     """Bare conv (the {'kernel','bias'} leaf of deploy blocks) with optional
     int8 fake quantization: per-output-channel weights, per-tensor activations."""
@@ -156,6 +162,20 @@ class _RawConv(nn.Module):
                 if not self.is_initializing():
                     amax.value = jnp.maximum(amax.value,
                                              jnp.abs(x.astype(jnp.float32)).max())
+                if CALIB_HIST_BINS:
+                    # histogram pass of the two-pass histogram calibration
+                    # (core/quant.py): range anchored at the pass-1 running max,
+                    # like pytorch_quantization's HistogramCalibrator
+                    # (qat_utils.py:12-59 collect_stats/compute_amax)
+                    hist = self.variable(
+                        "quant", "act_hist",
+                        lambda: jnp.zeros((CALIB_HIST_BINS,), jnp.float32))
+                    if not self.is_initializing():
+                        h, _ = jnp.histogram(
+                            jnp.abs(x.astype(jnp.float32)),
+                            bins=CALIB_HIST_BINS,
+                            range=(0.0, jnp.maximum(amax.value, 1e-12)))
+                        hist.value = hist.value + h.astype(jnp.float32)
             else:
                 x = fake_quant_sym(x.astype(jnp.float32), amax.value).astype(x.dtype)
             w_amax = jnp.abs(kernel).max(axis=(0, 1, 2), keepdims=True)
@@ -289,12 +309,17 @@ class RepVGGBlock(nn.Module):
 
     Train: relu(dense3x3_bn(x) + pw1x1_bn(x) [+ id_bn(x) if cin==cout and stride==1]).
     Deploy: relu(conv3x3+bias) -- see reparam.fold_repvgg.
+    plain=True drops the 1x1/identity branches: the RealVGGBlock used by
+    cfg.training_mode=='repopt' (common.py:286-303, get_block common.py:2261-2267);
+    the structural prior then lives in the RepOptimizer grad masks
+    (solver/repopt.py).
     """
     cin: int
     cout: int
     stride: int = 1
     groups: int = 1
     deploy: bool = False
+    plain: bool = False
     quant: bool = False
     calibrate: bool = False
     dtype: Dtype = jnp.float32
@@ -307,6 +332,8 @@ class RepVGGBlock(nn.Module):
             return nn.relu(y)
         y = ConvBN(self.cout, 3, self.stride, self.groups, dtype=self.dtype,
                    name="dense")(x, train)
+        if self.plain:
+            return nn.relu(y)
         y = y + ConvBN(self.cout, 1, self.stride, self.groups, pad=0, dtype=self.dtype,
                        name="pw")(x, train)
         if self.cin == self.cout and self.stride == 1:
@@ -322,6 +349,7 @@ class MPRep(nn.Module):
     cin: int
     cout: int
     deploy: bool = False
+    plain: bool = False
     quant: bool = False
     calibrate: bool = False
     dtype: Dtype = jnp.float32
@@ -331,7 +359,9 @@ class MPRep(nn.Module):
         c_ = self.cout // 2
         a = nn.max_pool(x, (2, 2), strides=(2, 2))
         a = _convish(self.deploy, self.quant, self.calibrate)(c_, 1, act="silu", dtype=self.dtype, name="pool_proj")(a, train)
-        b = RepVGGBlock(self.cin, c_, stride=2, deploy=self.deploy, quant=self.quant, calibrate=self.calibrate, dtype=self.dtype,
+        b = RepVGGBlock(self.cin, c_, stride=2, deploy=self.deploy,
+                        plain=self.plain, quant=self.quant,
+                        calibrate=self.calibrate, dtype=self.dtype,
                         name="rep_down")(x, train)
         return jnp.concatenate([a, b], axis=-1)
 

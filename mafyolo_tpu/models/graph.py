@@ -156,6 +156,7 @@ class GraphNet(nn.Module):
     save: frozenset
     out_frm: Tuple[int, ...]
     deploy: bool = False
+    plain_rep: bool = False   # training_mode=='repopt': RealVGG-style blocks
     quant: bool = False
     calibrate: bool = False
     s2d_stem: bool = False
@@ -185,6 +186,9 @@ class GraphNet(nn.Module):
                               name=f"layer{spec.idx}")(inp, train)
             else:
                 ctor = _BLOCK_CTORS[spec.kind]
+                extra = {}
+                if self.plain_rep and spec.kind in ("RepVGGBlock", "MPRep"):
+                    extra["plain"] = True
                 if self.remat:
                     # per-block rematerialization: keeps each block's backward a
                     # self-contained unit (bounds compiled-code size AND live
@@ -193,7 +197,7 @@ class GraphNet(nn.Module):
                     ctor = nn.remat(ctor, static_argnums=(2,))
                 x = ctor(deploy=self.deploy, quant=self.quant,
                          calibrate=self.calibrate, dtype=self.dtype,
-                         name=f"layer{spec.idx}", **spec.kw)(inp, train)
+                         name=f"layer{spec.idx}", **extra, **spec.kw)(inp, train)
             if spec.idx in self.save:
                 y[spec.idx] = x
         raise ValueError("graph has no Out row")
@@ -213,6 +217,7 @@ class MAFYolo(nn.Module):
     reg_max: int = 16
     strides: Tuple[int, ...] = (8, 16, 32)
     deploy: bool = False
+    plain_rep: bool = False
     quant: bool = False
     calibrate: bool = False
     s2d_stem: bool = False
@@ -222,6 +227,7 @@ class MAFYolo(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         return GraphNet(self.specs, self.save, self.out_frm, deploy=self.deploy,
+                        plain_rep=self.plain_rep,
                         quant=self.quant, calibrate=self.calibrate,
                         s2d_stem=self.s2d_stem, remat=self.remat,
                         dtype=self.dtype, name="net")(x, train)
@@ -231,7 +237,7 @@ def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
                 strides: Tuple[int, ...] = (8, 16, 32), deploy: bool = False,
                 quant: bool = False, calibrate: bool = False,
                 s2d_stem: bool = False, remat: bool = False,
-                dtype: Any = jnp.float32) -> MAFYolo:
+                plain_rep: bool = False, dtype: Any = jnp.float32) -> MAFYolo:
     """Build a MAFYolo from a zoo name, a graph dict, or a reference-format yaml path."""
     if isinstance(graph, str):
         if graph in MODEL_ZOO:
@@ -242,6 +248,6 @@ def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
             graph = graph_from_yaml(graph)
     specs, save, out_frm = parse_graph(graph, nc=nc)
     return MAFYolo(specs=specs, save=save, out_frm=out_frm, nc=nc, reg_max=reg_max,
-                   strides=strides, deploy=deploy, quant=quant,
-                   calibrate=calibrate, s2d_stem=s2d_stem, remat=remat,
-                   dtype=dtype)
+                   strides=strides, deploy=deploy, plain_rep=plain_rep,
+                   quant=quant, calibrate=calibrate, s2d_stem=s2d_stem,
+                   remat=remat, dtype=dtype)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from mafyolo_tpu.assigners import atss_assign, tal_assign
 from mafyolo_tpu.models.detect import (bbox2dist, dfl_decode, dist2bbox,
                                        generate_anchors_train)
-from mafyolo_tpu.ops.boxes import iou_loss, xywh2xyxy
+from mafyolo_tpu.ops.boxes import iou_loss, wiou_loss, xywh2xyxy
 
 
 def varifocal_loss(pred_score, gt_score, label, alpha: float = 0.75,
@@ -70,6 +70,7 @@ def detection_loss(
     use_dfl: bool = True,
     iou_type: str = "giou",
     loss_weight: Dict[str, float] = None,
+    wiou_mean=None,               # running mean scalar, only for iou_type='wiou'
 ):
     """-> (total_loss, dict(iou=, dfl=, cls=)) all scalars, fp32."""
     from mafyolo_tpu.models.detect import flatten_train_outputs
@@ -117,8 +118,17 @@ def detection_loss(
 
     # box losses, masked full-shape (BboxLoss, loss.py:217-254)
     bbox_weight = (target_scores.sum(-1) * fg)              # [B,A]
-    per_anchor_iou = iou_loss(pred_bboxes, target_bboxes, iou_type=iou_type,
-                              eps=1e-10)                    # [B,A]
+    new_wiou_mean = None
+    if iou_type == "wiou":
+        per_anchor_iou, new_wiou_mean = wiou_loss(
+            pred_bboxes, target_bboxes,
+            jnp.float32(1.0) if wiou_mean is None else wiou_mean, mask=fg)
+        per_anchor_iou = per_anchor_iou * fg  # wiou has no eps; mask NaNs out
+        per_anchor_iou = jnp.where(jnp.isfinite(per_anchor_iou),
+                                   per_anchor_iou, 0.0)
+    else:
+        per_anchor_iou = iou_loss(pred_bboxes, target_bboxes,
+                                  iou_type=iou_type, eps=1e-10)  # [B,A]
     loss_iou = (per_anchor_iou * bbox_weight).sum() / denom
 
     if use_dfl:
@@ -135,4 +145,6 @@ def detection_loss(
     comps = {"iou": loss_weight["iou"] * loss_iou,
              "dfl": loss_weight["dfl"] * loss_dfl,
              "cls": loss_weight["class"] * loss_cls}
+    if new_wiou_mean is not None:
+        comps["wiou_mean"] = new_wiou_mean
     return total, comps

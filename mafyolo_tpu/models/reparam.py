@@ -78,8 +78,13 @@ def _dilated_to_dense(kernel: np.ndarray, r: int) -> np.ndarray:
 
 
 def fold_repvgg(p, s, cin: int, cout: int, stride: int, groups: int = 1):
-    """RepVGGBlock.get_equivalent_kernel_bias (common.py:226-264)."""
+    """RepVGGBlock.get_equivalent_kernel_bias (common.py:226-264).
+
+    A plain (RealVGG/repopt) block has only the dense branch; folding reduces
+    to the standard conv+BN fuse."""
     k3, b3 = fuse_conv_bn(p["dense"]["conv"], p["dense"]["bn"], s["dense"]["bn"])
+    if "pw" not in p:
+        return {"fused": {"conv": {"kernel": k3, "bias": b3}}}
     k1, b1 = fuse_conv_bn(p["pw"]["conv"], p["pw"]["bn"], s["pw"]["bn"])
     k = k3 + _pad_kernel_center(k1, 3)
     b = b3 + b1

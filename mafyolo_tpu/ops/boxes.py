@@ -33,6 +33,53 @@ def box_iou_pairwise(box1, box2, eps: float = 1e-7):
     return inter / (a1[:, None] + a2[None, :] - inter + eps)
 
 
+# IoU_Cal.momentum (yolov6/utils/wiou.py:14): running mean converges with a
+# 7000-step half-life.
+WIOU_MOMENTUM = 1.0 - 0.5 ** (1.0 / 7000.0)
+
+
+def wiou_loss(box1, box2, iou_mean, mask=None, gamma: float = 1.9,
+              delta: float = 3.0):
+    """Wise-IoU v3 with non-monotonic focusing (yolov6/utils/wiou.py:85-90,
+    71-79; dispatched from figure_iou.py iou_type=='wiou').
+
+    box1/box2: aligned xyxy [..., 4]. iou_mean: running mean of the detached
+    IoU loss (a traced scalar; the reference keeps it as the IoU_Cal.iou_mean
+    class attribute and updates it BEFORE the loss reads it, wiou.py:47,63-66).
+    mask: optional [...] weights selecting the positives the mean is taken over
+    (the reference computes on masked_select-ed positives only).
+    Returns (per-element loss [...], new running mean).
+    """
+    pred_xy = (box1[..., :2] + box1[..., 2:4]) / 2
+    tgt_xy = (box2[..., :2] + box2[..., 2:4]) / 2
+    pred_wh = box1[..., 2:4] - box1[..., :2]
+    tgt_wh = box2[..., 2:4] - box2[..., :2]
+    min_c = jnp.minimum(box1[..., :4], box2[..., :4])
+    max_c = jnp.maximum(box1[..., :4], box2[..., :4])
+    s_inter = jnp.clip(min_c[..., 2:4] - max_c[..., :2], 0).prod(-1)
+    s_union = pred_wh.prod(-1) + tgt_wh.prod(-1) - s_inter
+    wh_box = max_c[..., 2:4] - min_c[..., :2]
+    l2_box = jnp.square(wh_box).sum(-1)
+    l2_center = jnp.square(pred_xy - tgt_xy).sum(-1)
+    # NB: named 'iou' in the reference but it is the LOSS-oriented 1 - IoU
+    iou = 1.0 - s_inter / s_union
+    iou_det = lax.stop_gradient(iou)
+
+    if mask is None:
+        batch_mean = iou_det.mean()
+    else:
+        m = mask.astype(jnp.float32)
+        batch_mean = (iou_det * m).sum() / jnp.maximum(m.sum(), 1.0)
+    new_mean = (1.0 - WIOU_MOMENTUM) * iou_mean + WIOU_MOMENTUM * batch_mean
+
+    dist = jnp.exp(l2_center / lax.stop_gradient(l2_box))
+    loss = dist * iou
+    # non-monotonic FM (monotonous=False default, wiou.py:71-79)
+    beta = iou_det / new_mean
+    alpha = delta * jnp.power(gamma, beta - delta)
+    return loss * beta / alpha, new_mean
+
+
 def iou_loss(box1, box2, iou_type: str = "giou", box_format: str = "xyxy",
              eps: float = 1e-10):
     """Elementwise IoU loss between aligned boxes [..., 4] -> [...].

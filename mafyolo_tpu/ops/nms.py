@@ -51,6 +51,124 @@ def _greedy_nms_mask(iou, valid, iou_thres: float):
     return keep
 
 
+def _blocked_greedy_select(cand_boxes, off_boxes, scores, cls_idx,
+                           iou_thres: float, max_det: int, block: int = 256):
+    """Exact greedy NMS + top-max_det selection over score-DESCENDING
+    candidates, processed in score-ordered blocks -- replaces the full [M,M]
+    IoU materialization (the measured NMS bottleneck: ~512MB of HBM traffic
+    per batch32 at M=2000).
+
+    State carries only the top-max_det kept candidates so far. That is exact
+    for the top-max_det OUTPUT: a kept box dropped from the state ranks below
+    max_det kept higher-scored boxes, so anything it would have suppressed (or
+    anything wrongly kept in its absence) also ranks below them and can never
+    enter the output. Returns (boxes [max_det,4], scores, classes, valid).
+    """
+    m = scores.shape[0]
+    if m <= block:
+        iou = box_iou_pairwise(off_boxes, off_boxes)
+        keep = _greedy_nms_mask(iou, scores > 0, iou_thres)
+        kept_scores = jnp.where(keep, scores, 0.0)
+        k = min(max_det, m)
+        out_scores, out_idx = lax.top_k(kept_scores, k)
+        pad = max_det - k
+        return (jnp.pad(cand_boxes[out_idx], ((0, pad), (0, 0))),
+                jnp.pad(out_scores, (0, pad)),
+                jnp.pad(cls_idx[out_idx], (0, pad)),
+                jnp.pad(out_scores > 0, (0, pad)))
+
+    nb = -(-m // block)
+    pad_m = nb * block - m
+    off_p = jnp.pad(off_boxes, ((0, pad_m), (0, 0)))
+    sc_p = jnp.pad(scores, (0, pad_m))
+    idx_p = jnp.pad(jnp.arange(m, dtype=jnp.int32), (0, pad_m))
+    blk_off = off_p.reshape(nb, block, 4)
+    blk_sc = sc_p.reshape(nb, block)
+    blk_ix = idx_p.reshape(nb, block)
+
+    def body(state, blk):
+        kept_sc, kept_ix = state                      # [max_det]
+        b_off, b_sc, b_ix = blk
+        kept_boxes = off_p[kept_ix]
+        iou_k = box_iou_pairwise(kept_boxes, b_off)   # [max_det, block]
+        sup = jnp.any((iou_k > iou_thres) & (kept_sc > 0)[:, None], axis=0)
+        b_valid = (b_sc > 0) & ~sup
+        iou_b = box_iou_pairwise(b_off, b_off)        # [block, block]
+        keep_b = _greedy_nms_mask(iou_b, b_valid, iou_thres)
+        new_sc = jnp.where(keep_b, b_sc, 0.0)
+        all_sc = jnp.concatenate([kept_sc, new_sc])
+        all_ix = jnp.concatenate([kept_ix, b_ix])
+        top_sc, top_i = lax.top_k(all_sc, max_det)
+        return (top_sc, all_ix[top_i]), None
+
+    init = (jnp.zeros((max_det,), scores.dtype),
+            jnp.zeros((max_det,), jnp.int32))
+    (kept_sc, kept_ix), _ = lax.scan(body, init, (blk_off, blk_sc, blk_ix))
+    valid = kept_sc > 0
+    safe_ix = jnp.where(valid, kept_ix, 0)
+    return (jnp.where(valid[:, None], cand_boxes[safe_ix], 0.0), kept_sc,
+            jnp.where(valid, cls_idx[safe_ix], 0), valid)
+
+
+def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
+                     use_dfl: bool = True, conf_thres: float = 0.03,
+                     iou_thres: float = 0.65, max_det: int = 300,
+                     pre_nms_topk: int = 2000, multi_label: bool = True,
+                     agnostic: bool = False):
+    """Head outputs -> NMS results without materializing the [B, A, 5+nc]
+    decode tensor (the fusion of yolo.py:355-396 decode + nms.py:31-105).
+
+    Key reordering vs decode_eval+batched_nms: the top-M anchor prefilter runs
+    on the raw class-score map FIRST, and the DFL softmax/dist2bbox decode then
+    touches only the M surviving anchors (M=pre_nms_topk) instead of all A --
+    at 640px that is 2000 rows instead of 8400, and the [B,A,85] concat, the
+    obj*cls product, and the xywh->xyxy round-trip disappear entirely.
+    Candidate selection and keep-set are EXACTLY batched_nms's (same two-stage
+    top-M proof, same fixpoint greedy).
+    """
+    from mafyolo_tpu.models.detect import anchor_points_for, dfl_decode, \
+        flatten_train_outputs
+    hw_list, cls_scores, reg_distri = flatten_train_outputs(head_outs)
+    points, stride_col = anchor_points_for(hw_list, strides)
+
+    nc = cls_scores.shape[-1]
+    a = cls_scores.shape[1]
+    ma = min(pre_nms_topk, a)
+    m = min(pre_nms_topk, a * nc)
+
+    def single(cls, reg):
+        cls = cls.astype(jnp.float32)              # obj==1 => conf = cls score
+        amx = cls.max(-1)
+        _, anchor_top = lax.top_k(amx, ma)          # [Ma]
+        rows = cls[anchor_top]                      # [Ma, nc]
+        if not multi_label:
+            best = rows.max(-1, keepdims=True)
+            rows = jnp.where(rows == best, rows, 0.0)
+        rows = jnp.where(rows > conf_thres, rows, 0.0)
+
+        # decode only the surviving anchors
+        ltrb = dfl_decode(reg[anchor_top], reg_max) if use_dfl \
+            else reg[anchor_top].astype(jnp.float32)
+        pts = points[anchor_top]
+        sc = stride_col[anchor_top]
+        x1y1 = (pts - ltrb[:, :2]) * sc
+        x2y2 = (pts + ltrb[:, 2:]) * sc
+        boxes_ma = jnp.concatenate([x1y1, x2y2], -1)   # [Ma, 4] xyxy image px
+
+        top_scores, top_flat = lax.top_k(rows.reshape(-1), m)
+        row_idx = top_flat // nc
+        cls_idx = (top_flat % nc).astype(jnp.int32)
+        cand_boxes = boxes_ma[row_idx]
+
+        off = cand_boxes if agnostic else (
+            cand_boxes + cls_idx[:, None].astype(cand_boxes.dtype) * MAX_WH)
+        b, s, c, v = _blocked_greedy_select(cand_boxes, off, top_scores,
+                                            cls_idx, iou_thres, max_det)
+        return dict(boxes=b, scores=s, classes=c, valid=v)
+
+    return jax.vmap(single)(cls_scores, reg_distri)
+
+
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det",
                                    "pre_nms_topk", "multi_label", "agnostic"))
 def batched_nms(prediction, conf_thres: float = 0.03, iou_thres: float = 0.65,
@@ -86,21 +204,12 @@ def batched_nms(prediction, conf_thres: float = 0.03, iou_thres: float = 0.65,
         anchor_idx = anchor_top[top_flat // nc]
         cls_idx = (top_flat % nc).astype(jnp.int32)
         cand_boxes = boxes[anchor_idx]                      # [M,4]
-        valid = top_scores > 0
 
         off = cand_boxes if agnostic else (
             cand_boxes + cls_idx[:, None].astype(cand_boxes.dtype) * MAX_WH)
-        iou = box_iou_pairwise(off, off)
-        keep = _greedy_nms_mask(iou, valid, iou_thres)
-        kept_scores = jnp.where(keep, top_scores, 0.0)
-
-        k = min(max_det, m)
-        out_scores, out_idx = lax.top_k(kept_scores, k)
-        pad = max_det - k
-        return dict(
-            boxes=jnp.pad(cand_boxes[out_idx], ((0, pad), (0, 0))),
-            scores=jnp.pad(out_scores, (0, pad)),
-            classes=jnp.pad(cls_idx[out_idx], (0, pad)),
-            valid=jnp.pad(out_scores > 0, (0, pad)))
+        b, s, c, v = _blocked_greedy_select(
+            cand_boxes, off, top_scores.astype(jnp.float32), cls_idx,
+            iou_thres, max_det)
+        return dict(boxes=b, scores=s, classes=c, valid=v)
 
     return jax.vmap(single)(prediction)

@@ -72,6 +72,76 @@ def apply_grad_masks(grads, mask_tree):
     return jax.tree.map(jnp.multiply, grads, mask_tree)
 
 
+def plain_rep_kernel_paths(params) -> List[str]:
+    """'/'-joined paths of the plain RepVGG 3x3 kernels, in graph order.
+
+    Mirrors extract_blocks_into_list's recursive module walk
+    (RepOptimizer.py:10-15): 'dense' is the unique submodule name of the
+    RepVGGBlock 3x3 branch (models/blocks.py), so in a plain_rep build every
+    '.../dense/conv/kernel' leaf IS a RealVGG conv. Graph order = the layer{i}
+    index embedded in the path.
+    """
+    import re
+    hits = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(p.key) for p in path)
+        if key.endswith("dense/conv/kernel") and leaf.shape[:2] == (3, 3):
+            m = re.search(r"layer(\d+)", key)
+            hits.append((int(m.group(1)) if m else 1 << 30, key))
+    return [k for _, k in sorted(hits)]
+
+
+def repopt_prepare(params, scales: List[Tuple], rng: np.random.Generator,
+                   reinit: bool = True, use_identity_scales: bool = True):
+    """RepVGGOptimizer.__init__ analog for a plain_rep param tree
+    (RepOptimizer.py:84-152): optionally re-initialize each plain 3x3 kernel
+    from the searched scales, and build the gradient-mask pytree.
+
+    Returns (new_params, mask_tree). scales[i] pairs with the i-th plain
+    kernel in graph order; len(scales) must match.
+    """
+    paths = plain_rep_kernel_paths(params)
+    if len(scales) != len(paths):
+        raise ValueError(f"got {len(scales)} scale tuples for {len(paths)} "
+                         f"plain RepVGG convs")
+    by_path = dict(zip(paths, scales))
+    masks = {}
+
+    def visit(path, leaf):
+        key = "/".join(str(p.key) for p in path)
+        s = by_path.get(key)
+        if s is None:
+            return leaf
+        masks[key] = repopt_grad_mask(tuple(leaf.shape), s)
+        if reinit:
+            return jnp.asarray(repopt_reinit_kernel(
+                np.asarray(leaf, np.float32), s, rng, use_identity_scales))
+        return leaf
+
+    new_params = jax.tree_util.tree_map_with_path(visit, params)
+    return new_params, build_grad_mask_tree(params, masks)
+
+
+def random_scales_like(params, rng: np.random.Generator) -> List[Tuple]:
+    """Synthesize a plausible scale set (for tests / when no hyper-search
+    checkpoint exists): s ~ U(0.5, 1.0) per out-channel, identity scale for
+    square kernels, matching LinearAddBlock's trained-scale shape."""
+    out = []
+    for key in plain_rep_kernel_paths(params):
+        leaf = params
+        for k in key.split("/"):
+            leaf = leaf[k]
+        cin, cout = leaf.shape[2], leaf.shape[3]
+        t = [rng.uniform(0.5, 1.0, cout).astype(np.float32),
+             rng.uniform(0.5, 1.0, cout).astype(np.float32)]
+        # identity scale exists only for stride-1 square blocks (LinearAddBlock,
+        # common.py:318-330); MPRep's rep_down is always stride 2
+        if cin == cout and "rep_down" not in key:
+            t.insert(0, rng.uniform(0.5, 1.0, cout).astype(np.float32))
+        out.append(tuple(t))
+    return out
+
+
 def load_scales(path: str) -> List[Tuple]:
     """Load searched scales: either a pickled list of numpy tuples, or a torch
     LinearAddBlock search checkpoint (extract_scales, RepOptimizer.py:18-29)."""

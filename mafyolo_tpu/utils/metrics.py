@@ -7,16 +7,12 @@ from typing import Tuple
 import numpy as np
 
 
-def smooth(y, f=0.05):
-    nf = round(len(y) * f * 2) // 2 + 1
-    p = np.ones(nf // 2)
-    yp = np.concatenate((p * y[0], y, p * y[-1]), 0)
-    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
-
-
 def compute_ap(recall, precision):
-    """101-point interpolated AP for one class/IoU (metrics.py compute_ap)."""
-    mrec = np.concatenate(([0.0], recall, [1.0]))
+    """101-point interpolated AP for one class/IoU (metrics.py compute_ap).
+
+    The closing sentinel is recall[-1]+0.01, NOT 1.0 (metrics.py:87) -- it
+    changes AP for classes whose recall curve never reaches 1."""
+    mrec = np.concatenate(([0.0], recall, [recall[-1] + 0.01]))
     mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     x = np.linspace(0, 1, 101)
@@ -26,7 +22,9 @@ def compute_ap(recall, precision):
 
 def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16):
     """tp [N, T] bool (matched at T IoU thresholds), conf [N], pred_cls [N],
-    target_cls [M] -> (p, r, ap[nc,T], f1, unique_classes) at max-F1 confidence."""
+    target_cls [M] -> (p[nc,1000], r[nc,1000], ap[nc,T], f1[nc,1000],
+    unique_classes) -- full confidence-swept curves, exactly the reference
+    return shape (metrics.py:13-76); the Evaler picks the max-F1 index."""
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
     unique_classes, nt = np.unique(target_cls, return_counts=True)
@@ -50,9 +48,7 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16):
         for ti in range(tp.shape[1]):
             ap[ci, ti], _, _ = compute_ap(recall[:, ti], precision[:, ti])
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
-    i = smooth(f1_curve.mean(0), 0.1).argmax()
-    p, r, f1 = p_curve[:, i], r_curve[:, i], f1_curve[:, i]
-    return p, r, ap, f1, unique_classes.astype(int)
+    return p_curve, r_curve, ap, f1_curve, unique_classes.astype(int)
 
 
 def box_iou_np(box1, box2, eps=1e-7):

@@ -51,12 +51,71 @@ def install_stubs():
         tv.__version__ = "0.0-stub"
         ops = types.ModuleType("torchvision.ops")
 
-        def _no_nms(*a, **k):
-            raise RuntimeError("torchvision stub: nms unavailable")
+        def _np_nms(boxes, scores, iou_thres):
+            """Exact greedy NMS (torchvision.ops.nms semantics: keep indices in
+            score order, suppress IoU > threshold). Lets the reference's
+            non_max_suppression run end-to-end on this box."""
+            import numpy as np
+            import torch
+            b = boxes.detach().cpu().numpy().astype(np.float64)
+            s = scores.detach().cpu().numpy()
+            order = np.argsort(-s, kind="stable")
+            areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            keep = []
+            suppressed = np.zeros(len(order), bool)
+            for oi, i in enumerate(order):
+                if suppressed[oi]:
+                    continue
+                keep.append(int(i))
+                rest = order[oi + 1:]
+                lt = np.maximum(b[i, :2], b[rest, :2])
+                rb = np.minimum(b[i, 2:], b[rest, 2:])
+                inter = np.clip(rb - lt, 0, None).prod(-1)
+                iou = inter / (areas[i] + areas[rest] - inter)
+                suppressed[oi + 1:] |= iou > iou_thres
+            return torch.tensor(keep, dtype=torch.long)
 
-        ops.nms = _no_nms
+        ops.nms = _np_nms
         tv.ops = ops
         sys.modules.update({"torchvision": tv, "torchvision.ops": ops})
+
+    if "albumentations" not in sys.modules:
+        # module-scope import in yolov6/data/data_augment.py; only the
+        # augment=True train path constructs transforms, which eval never does
+        alb = types.ModuleType("albumentations")
+
+        class _AnyOp:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, *a, **k):
+                raise RuntimeError("albumentations stub: transform invoked")
+
+        def _alb_getattr(name):
+            if name.startswith("__"):          # keep inspect/import machinery sane
+                raise AttributeError(name)
+            return _AnyOp
+
+        alb.__getattr__ = _alb_getattr
+        sys.modules["albumentations"] = alb
+
+    if "pycocotools" not in sys.modules:
+        # module-scope import in yolov6/core/evaler.py; only eval_model uses
+        # it, which these tests never call (AP comes from our numpy evaluator)
+        pc = types.ModuleType("pycocotools")
+        coco_mod = types.ModuleType("pycocotools.coco")
+        eval_mod = types.ModuleType("pycocotools.cocoeval")
+
+        class _Unavailable:
+            def __init__(self, *a, **k):
+                raise RuntimeError("pycocotools stub: not available")
+
+        coco_mod.COCO = _Unavailable
+        eval_mod.COCOeval = _Unavailable
+        pc.coco = coco_mod
+        pc.cocoeval = eval_mod
+        sys.modules.update({"pycocotools": pc, "pycocotools.coco": coco_mod,
+                            "pycocotools.cocoeval": eval_mod})
 
     if "thop" not in sys.modules:
         thop = types.ModuleType("thop")

@@ -37,6 +37,33 @@ def test_loss_finite_both_phases():
         assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_loss_wiou_threads_running_mean():
+    """iou_type='wiou': loss finite, grads flow, and the running mean returned
+    in comps moves off its init and feeds the next call."""
+    m, x, v, targets = _setup()
+
+    def loss_fn(params, mean):
+        outs = m.apply({"params": params, "batch_stats": v["batch_stats"]},
+                       x, train=False)
+        total, comps = detection_loss(outs, targets, use_atss=False,
+                                      num_classes=5, img_size=64,
+                                      iou_type="wiou", wiou_mean=mean)
+        return total, comps
+
+    mean = jnp.float32(1.0)
+    (total, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        v["params"], mean)
+    assert np.isfinite(float(total)) and float(total) > 0
+    assert "wiou_mean" in comps
+    m1 = float(comps["wiou_mean"])
+    assert np.isfinite(m1) and m1 != 1.0
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+    # second call continues the mean
+    _, comps2 = loss_fn(v["params"], comps["wiou_mean"])
+    assert float(comps2["wiou_mean"]) != m1
+
+
 def test_loss_empty_batch_is_finite():
     m, x, v, _ = _setup()
     targets = jnp.full((2, 8, 5), 0.0)

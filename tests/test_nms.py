@@ -99,3 +99,36 @@ def test_nms_multilabel_same_box_two_classes():
     out = batched_nms(jnp.array(pred), conf_thres=0.1, iou_thres=0.5, pre_nms_topk=24,
                       max_det=10)
     assert int(np.asarray(out["valid"][0]).sum()) == 2
+
+
+def test_fused_decode_nms_matches_unfused():
+    """fused_decode_nms == decode_eval + batched_nms on a real model's outputs
+    (same candidates, keep-set, boxes, scores)."""
+    import jax
+
+    from mafyolo_tpu.models import build_model
+    from mafyolo_tpu.models.detect import decode_eval
+    from mafyolo_tpu.ops.nms import fused_decode_nms
+
+    nc, img = 7, 96
+    m = build_model("maf-yolo-n", nc=nc)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, img, img, 3))
+    v = m.init(jax.random.PRNGKey(4), x, train=False)
+    outs = m.apply(v, x, train=False)
+
+    kw = dict(conf_thres=0.01, iou_thres=0.65, max_det=100, pre_nms_topk=500)
+    ref = batched_nms(decode_eval(outs, strides=(8, 16, 32)), **kw)
+    fused = fused_decode_nms(outs, strides=(8, 16, 32), **kw)
+
+    for i in range(2):
+        n_ref = int(np.asarray(ref["valid"][i]).sum())
+        n_f = int(np.asarray(fused["valid"][i]).sum())
+        assert n_ref == n_f, (n_ref, n_f)
+        np.testing.assert_allclose(np.asarray(fused["scores"][i][:n_f]),
+                                   np.asarray(ref["scores"][i][:n_ref]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fused["boxes"][i][:n_f]),
+                                   np.asarray(ref["boxes"][i][:n_ref]),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(fused["classes"][i][:n_f]),
+                                      np.asarray(ref["classes"][i][:n_ref]))

@@ -136,6 +136,38 @@ def test_iou_loss_parity(rng, iou_type):
 
 
 @requires_reference
+def test_wiou_parity(rng):
+    """Wise-IoU v3 vs yolov6/utils/wiou.py IoU_Cal.WIoU (through the
+    figure_iou.py iou_type=='wiou' dispatch semantics), incl. the running-mean
+    update that happens at IoU_Cal construction."""
+    from yolov6.utils.wiou import IoU_Cal
+
+    from mafyolo_tpu.ops.boxes import WIOU_MOMENTUM, wiou_loss
+    assert np.isclose(WIOU_MOMENTUM, IoU_Cal.momentum)
+
+    b1 = rng.uniform(0, 50, (40, 2)).astype(np.float32)
+    b1 = np.concatenate([b1, b1 + rng.uniform(2, 30, (40, 2)).astype(np.float32)], -1)
+    b2 = rng.uniform(0, 50, (40, 2)).astype(np.float32)
+    b2 = np.concatenate([b2, b2 + rng.uniform(2, 30, (40, 2)).astype(np.float32)], -1)
+
+    IoU_Cal.iou_mean = 1.0
+    IoU_Cal.train()
+    calc = IoU_Cal(torch.tensor(b1), torch.tensor(b2))
+    ref = IoU_Cal.WIoU(None, None, self=calc).numpy().reshape(-1)
+    ref_mean = IoU_Cal.iou_mean
+
+    ours, new_mean = wiou_loss(jnp.array(b1), jnp.array(b2), jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(new_mean), ref_mean, rtol=1e-5)
+
+    # second call: the running mean carries over
+    calc2 = IoU_Cal(torch.tensor(b2), torch.tensor(b1))
+    ref2 = IoU_Cal.WIoU(None, None, self=calc2).numpy().reshape(-1)
+    ours2, _ = wiou_loss(jnp.array(b2), jnp.array(b1), new_mean)
+    np.testing.assert_allclose(np.asarray(ours2), ref2, rtol=1e-4, atol=1e-5)
+
+
+@requires_reference
 def test_dist2bbox_dfl_parity(rng):
     import torch.nn.functional as F
     from yolov6.utils.general import bbox2dist as t_b2d

