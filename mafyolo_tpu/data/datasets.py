@@ -31,6 +31,45 @@ from mafyolo_tpu.utils.events import LOGGER
 
 IMG_FORMATS = (".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".dng", ".webp")
 
+# PIL exif orientation tag (datasets.py ORIENTATION)
+_ORIENTATION = 0x0112
+
+
+def check_image(im_file: str):
+    """Header-only image verification (datasets.py:697-733 check_image).
+
+    PIL verify + header-size read (no full JPEG decode -- the round-1 scan
+    cv2.imread()'d every image, ~118k full decodes on COCO train2017), exif
+    orientation swap, and corrupt-JPEG restore by re-saving.
+    Returns (path, (w, h) | None, warn_msg)."""
+    from PIL import Image, ImageOps
+    msg = ""
+    try:
+        im = Image.open(im_file)
+        im.verify()
+        im = Image.open(im_file)          # reload after verify
+        shape = im.size                   # (width, height)
+        try:
+            exif = im._getexif()
+        except Exception:
+            exif = None
+        if exif and _ORIENTATION in exif and exif[_ORIENTATION] in (6, 8):
+            shape = (shape[1], shape[0])
+        assert shape[0] > 9 and shape[1] > 9, f"image size {shape} <10 pixels"
+        fmt = (im.format or "").lower()
+        assert f".{fmt}" in IMG_FORMATS or fmt in ("jpeg",), \
+            f"invalid image format {im.format}"
+        if fmt in ("jpg", "jpeg"):
+            with open(im_file, "rb") as f:
+                f.seek(-2, 2)
+                if f.read() != b"\xff\xd9":   # truncated JPEG
+                    ImageOps.exif_transpose(Image.open(im_file)).save(
+                        im_file, "JPEG", subsampling=0, quality=100)
+                    msg = f"{im_file}: corrupt JPEG restored and saved"
+        return im_file, shape, msg
+    except Exception as e:  # noqa: BLE001 - mirror the reference's drop policy
+        return im_file, None, f"{im_file}: ignoring corrupt image: {e}"
+
 
 def img2label_path(img_path: str) -> str:
     sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
@@ -97,22 +136,46 @@ class DetectionDataset:
             try:
                 z = np.load(cache_path, allow_pickle=True)
                 if str(z["key"]) == key:
+                    if "paths" in z:     # scan may have dropped corrupt images
+                        self.img_paths = [str(p) for p in z["paths"]]
                     return (list(z["labels"]), list(z["segments"]), z["shapes"])
             except Exception:
                 pass
-        labels, segments, shapes = [], [], []
+        # multiprocess header-only verification (reference Pool(8) scan,
+        # datasets.py:697-785); corrupt images are dropped with a warning, not
+        # fatal. Serial under ~512 images (pool spawn costs more than it saves,
+        # and keeps tiny test datasets fork-free).
+        if len(self.img_paths) >= 512:
+            from multiprocessing import Pool
+            with Pool(min(8, os.cpu_count() or 1)) as pool:
+                results = pool.map(check_image, self.img_paths)
+        else:
+            results = [check_image(p) for p in self.img_paths]
+        keep, shapes = [], []
+        n_corrupt = 0
+        for pth, shape, msg in results:
+            if shape is None:
+                n_corrupt += 1
+                LOGGER.warning(msg)
+                continue
+            if msg:
+                LOGGER.warning(msg)
+            keep.append(pth)
+            shapes.append(shape)
+        if n_corrupt:
+            LOGGER.warning(f"scan: dropped {n_corrupt} corrupt images")
+        if not keep:
+            raise FileNotFoundError(f"no readable images under {self.img_dir}")
+        self.img_paths = keep
+        labels, segments = [], []
         for pth in self.img_paths:
-            im = cv2.imread(pth)
-            if im is None:
-                raise ValueError(f"corrupt or unreadable image: {pth}")
-            shapes.append(im.shape[:2][::-1])  # (w, h) like the reference
-            lb_path = img2label_path(pth)
-            lb, seg = self._parse_label_file(lb_path)
+            lb, seg = self._parse_label_file(img2label_path(pth))
             labels.append(lb)
             segments.append(seg)
         shapes = np.array(shapes, dtype=np.float64)
         try:
             np.savez(cache_path, key=key,
+                     paths=np.array(self.img_paths),
                      labels=np.array(labels, dtype=object),
                      segments=np.array(segments, dtype=object), shapes=shapes)
         except OSError:
@@ -144,6 +207,12 @@ class DetectionDataset:
                 labels.append(vals[:5])
         lb = np.stack(labels).astype(np.float32)
         lb[:, 1:] = lb[:, 1:].clip(0, 1)
+        # duplicate-row removal (reference check_label_files, datasets.py:765-771)
+        _, idx = np.unique(lb, axis=0, return_index=True)
+        if len(idx) < len(lb):
+            lb = lb[idx]
+            if segments:
+                segments = [segments[x] for x in idx]
         return lb, segments
 
     def _sort_rect(self, batch_size):

@@ -27,8 +27,16 @@ import jax
 import jax.numpy as jnp
 
 
-def _affine_matrix(key, h: int, w: int, degrees, translate, scale, shear):
-    """Random centered rotate/scale/shear/translate matrix (3x3), image coords."""
+def _affine_matrix(key, h: int, w: int, degrees, translate, scale, shear,
+                   out_h: int = None, out_w: int = None):
+    """Random centered rotate/scale/shear/translate matrix (3x3), image coords.
+
+    Mirrors get_transform_matrix (data_augment.py:160-187): the centering C
+    uses the INPUT dims (the 2s mosaic canvas), the translation T the OUTPUT
+    dims -- they differ exactly in the mosaic path.
+    """
+    out_h = h if out_h is None else out_h
+    out_w = w if out_w is None else out_w
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     a = jax.random.uniform(k1, (), minval=-degrees, maxval=degrees)
     s = jax.random.uniform(k2, (), minval=1 - scale, maxval=1 + scale)
@@ -39,9 +47,9 @@ def _affine_matrix(key, h: int, w: int, degrees, translate, scale, shear):
     shy = jnp.tan(jax.random.uniform(k4, (), minval=-shear, maxval=shear)
                   * math.pi / 180.0)
     tx = jax.random.uniform(k5, (), minval=0.5 - translate,
-                            maxval=0.5 + translate) * w
+                            maxval=0.5 + translate) * out_w
     ty = jax.random.uniform(k6, (), minval=0.5 - translate,
-                            maxval=0.5 + translate) * h
+                            maxval=0.5 + translate) * out_h
     c = jnp.array([[1, 0, -w / 2], [0, 1, -h / 2], [0, 0, 1]], jnp.float32)
     r = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], jnp.float32)
     r = r.at[0, 0].set(cos).at[0, 1].set(-sin).at[1, 0].set(sin).at[1, 1].set(cos)
@@ -80,19 +88,15 @@ def _warp_bilinear(img, m_inv, out_h: int, out_w: int, fill: float):
 
 
 def _rgb_to_hsv(rgb):
-    return jax.vmap(jax.vmap(_px_rgb2hsv))(rgb)
-
-
-def _px_rgb2hsv(px):
-    r, g, b = px[0], px[1], px[2]
-    mx = jnp.max(px)
-    mn = jnp.min(px)
+    """Vectorized RGB->HSV on [..., 3] floats (round 1 used a per-pixel
+    double vmap; this is one fused elementwise graph)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = rgb.max(-1)
+    mn = rgb.min(-1)
     d = mx - mn + 1e-12
-    h = jnp.where(mx == r, (g - b) / d % 6.0,
+    h = jnp.where(mx == r, ((g - b) / d) % 6.0,
                   jnp.where(mx == g, (b - r) / d + 2.0, (r - g) / d + 4.0))
-    h = h / 6.0
-    s = d / (mx + 1e-12)
-    return jnp.stack([h, s, mx])
+    return jnp.stack([h / 6.0, d / (mx + 1e-12), mx], -1)
 
 
 def _hsv_to_rgb(hsv):
@@ -156,25 +160,162 @@ def _transform_labels(labels, m, s, out_h: int, out_w: int):
     return jnp.concatenate([cls_out, jnp.where(keep[:, None], out, 0.0)], -1)
 
 
+def _warp_mosaic_bilinear(imgs4, m_inv, xc, yc, out_h: int, out_w: int,
+                          fill: float):
+    """Inverse-warp the VIRTUAL 2s x 2s mosaic canvas without building it.
+
+    imgs4 [4,s,s,3] float (TL,TR,BL,BR per the reference's placement where
+    image i's corner meets the mosaic center (xc,yc), data_augment.py:190-254).
+    Each bilinear tap maps an output pixel through m_inv to canvas coords,
+    picks the quadrant, and gathers from the right source image -- the 2s
+    canvas (4x the pixels) never exists in memory.
+    """
+    s = imgs4.shape[1]
+    gy, gx = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
+                          jnp.arange(out_w, dtype=jnp.float32), indexing="ij")
+    ones = jnp.ones_like(gx)
+    src = jnp.einsum("ij,jhw->ihw", m_inv, jnp.stack([gx, gy, ones]))
+    sx, sy = src[0], src[1]
+    flat = imgs4.reshape(4 * s * s, imgs4.shape[-1])
+    xc = xc.astype(jnp.int32)
+    yc = yc.astype(jnp.int32)
+
+    def tap(syi, sxi):
+        qx = (sxi >= xc).astype(jnp.int32)
+        qy = (syi >= yc).astype(jnp.int32)
+        ox = jnp.where(qx == 0, xc - s, xc)
+        oy = jnp.where(qy == 0, yc - s, yc)
+        ix = sxi - ox
+        iy = syi - oy
+        inside = (ix >= 0) & (ix < s) & (iy >= 0) & (iy < s) \
+            & (sxi >= 0) & (sxi < 2 * s) & (syi >= 0) & (syi < 2 * s)
+        idx = ((qy * 2 + qx) * s + jnp.clip(iy, 0, s - 1)) * s \
+            + jnp.clip(ix, 0, s - 1)
+        v = flat[idx]
+        return jnp.where(inside[..., None], v, fill)
+
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    fx = (sx - x0.astype(jnp.float32))[..., None]
+    fy = (sy - y0.astype(jnp.float32))[..., None]
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+            + (v10 * (1 - fx) + v11 * fx) * fy)
+
+
+def _mosaic_labels_canvas(lbl4, xc, yc, s: int):
+    """[4,N,5] normalized-xywh labels -> [4N,5] canvas-pixel xyxy + cls.
+
+    Offsets per quadrant follow the reference's padw/padh (xc-s / xc, yc-s /
+    yc, data_augment.py:219-246); padded rows (cls<0) stay invalid.
+    """
+    offs = jnp.stack([
+        jnp.stack([xc - s, yc - s]), jnp.stack([xc, yc - s]),
+        jnp.stack([xc - s, yc]), jnp.stack([xc, yc])])        # [4,2]
+    cls = lbl4[..., 0].reshape(-1, 1)
+    cx = lbl4[..., 1] * s + offs[:, None, 0]
+    cy = lbl4[..., 2] * s + offs[:, None, 1]
+    bw = lbl4[..., 3] * s
+    bh = lbl4[..., 4] * s
+    x1 = (cx - bw / 2).reshape(-1)
+    y1 = (cy - bh / 2).reshape(-1)
+    x2 = (cx + bw / 2).reshape(-1)
+    y2 = (cy + bh / 2).reshape(-1)
+    return cls, jnp.stack([x1, y1, x2, y2], -1)
+
+
+def _affine_label_corners(cls, xyxy, m, s_gain, out_h: int, out_w: int):
+    """Pixel-space xyxy labels through affine m + box_candidates filter
+    (random_affine, data_augment.py:103-157). Returns [N,5] normalized xywh."""
+    valid_in = cls[:, 0] >= 0
+    x1, y1, x2, y2 = xyxy[:, 0], xyxy[:, 1], xyxy[:, 2], xyxy[:, 3]
+    bw, bh = x2 - x1, y2 - y1
+    corners = jnp.stack([
+        jnp.stack([x1, y1], -1), jnp.stack([x2, y2], -1),
+        jnp.stack([x1, y2], -1), jnp.stack([x2, y1], -1)], 1)      # [N,4,2]
+    ones = jnp.ones((*corners.shape[:2], 1), corners.dtype)
+    pts = jnp.concatenate([corners, ones], -1) @ m.T               # [N,4,3]
+    xs, ys = pts[..., 0], pts[..., 1]
+    nx1 = jnp.clip(xs.min(1), 0, out_w)
+    ny1 = jnp.clip(ys.min(1), 0, out_h)
+    nx2 = jnp.clip(xs.max(1), 0, out_w)
+    ny2 = jnp.clip(ys.max(1), 0, out_h)
+    w2, h2 = nx2 - nx1, ny2 - ny1
+    ar = jnp.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+    keep = ((w2 > 2) & (h2 > 2)
+            & (w2 * h2 / (bw * s_gain * bh * s_gain + 1e-16) > 0.1) & (ar < 20)
+            & valid_in)
+    out = jnp.stack([(nx1 + nx2) / 2 / out_w, (ny1 + ny2) / 2 / out_h,
+                     w2 / out_w, h2 / out_h], -1)
+    cls_out = jnp.where(keep[:, None], cls, -1.0)
+    return jnp.concatenate([cls_out, jnp.where(keep[:, None], out, 0.0)], -1)
+
+
+def _compact_labels(lbl, n_out: int):
+    """Move valid rows (cls>=0) to the front, truncate/pad to n_out rows --
+    keeps the targets tensor fixed-shape like the host collate's max_labels."""
+    valid = lbl[:, 0] >= 0
+    order = jnp.argsort(~valid, stable=True)
+    lbl = lbl[order][:n_out]
+    pad_cls = jnp.where(lbl[:, 0:1] >= 0, lbl[:, 0:1], -1.0)
+    return jnp.concatenate([pad_cls, lbl[:, 1:]], -1)
+
+
 @partial(jax.jit, static_argnames=("degrees", "translate", "scale", "shear",
-                                   "hsv_h", "hsv_s", "hsv_v", "fliplr", "flipud"))
+                                   "hsv_h", "hsv_s", "hsv_v", "fliplr",
+                                   "flipud", "mosaic"))
 def device_augment(imgs_u8, labels, key, *, degrees=0.0, translate=0.1,
                    scale=0.5, shear=0.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
-                   fliplr=0.5, flipud=0.0):
+                   fliplr=0.5, flipud=0.0, mosaic=0.0):
     """[B,H,W,3] uint8 BGR + [B,N,5] labels + key -> augmented (float RGB, labels).
 
     One independent key per sample; returns imgs in [0,1] RGB float32.
+    mosaic>0 enables in-batch device mosaic: each sample draws 3 donor images
+    from the same batch, tiles them on a virtual 2s canvas (never
+    materialized -- the affine inverse-warp taps gather straight from the 4
+    sources), and the affine maps canvas->s like the reference's
+    mosaic+random_affine chain (data_augment.py:190-254). Non-mosaic samples
+    skip the affine, mirroring the reference's else-branch (datasets.py
+    __getitem__: letterbox + general_augment only).
     """
     b, h, w, _ = imgs_u8.shape
+    n = labels.shape[1]
     keys = jax.random.split(key, b)
+    imgs_f = imgs_u8[..., ::-1].astype(jnp.float32) / 255.0     # BGR -> RGB
 
-    def one(img_u8, lbl, k):
-        ka, kh, kf1, kf2 = jax.random.split(k, 4)
-        img = img_u8[..., ::-1].astype(jnp.float32) / 255.0     # BGR -> RGB
-        m, s = _affine_matrix(ka, h, w, degrees, translate, scale, shear)
-        m_inv = jnp.linalg.inv(m)
-        img = _warp_bilinear(img, m_inv, h, w, 114.0 / 255.0)
-        lbl = _transform_labels(lbl, m, s, h, w)
+    def one(i, k):
+        ka, kh, kf1, kf2, km, kd, kb = jax.random.split(k, 7)
+        img = imgs_f[i]
+        lbl = labels[i]
+        if mosaic:
+            s = h
+            donors = jax.random.randint(kd, (3,), 0, b)
+            quad = jnp.stack([img, imgs_f[donors[0]], imgs_f[donors[1]],
+                              imgs_f[donors[2]]])
+            lbl4 = jnp.stack([lbl, labels[donors[0]], labels[donors[1]],
+                              labels[donors[2]]])
+            # mosaic center ~ U(s/2, 3s/2) (mosaic_border, datasets.py)
+            cxy = jax.random.uniform(km, (2,), minval=0.5 * s, maxval=1.5 * s)
+            xc, yc = jnp.floor(cxy[0]), jnp.floor(cxy[1])
+            m, sg = _affine_matrix(ka, 2 * s, 2 * s, degrees, translate,
+                                   scale, shear, out_h=s, out_w=s)
+            m_inv = jnp.linalg.inv(m)
+            mo_img = _warp_mosaic_bilinear(quad, m_inv, xc, yc, s, s,
+                                           114.0 / 255.0)
+            cls4, xyxy4 = _mosaic_labels_canvas(lbl4, xc, yc, s)
+            mo_lbl = _compact_labels(
+                _affine_label_corners(cls4, xyxy4, m, sg, s, s), n)
+            do_mo = jax.random.uniform(kb) < mosaic
+            img = jnp.where(do_mo, mo_img, img)
+            lbl = jnp.where(do_mo, mo_lbl, lbl)
+        elif degrees or translate or scale or shear:
+            m, sg = _affine_matrix(ka, h, w, degrees, translate, scale, shear)
+            m_inv = jnp.linalg.inv(m)
+            img = _warp_bilinear(img, m_inv, h, w, 114.0 / 255.0)
+            lbl = _transform_labels(lbl, m, sg, h, w)
         if hsv_h or hsv_s or hsv_v:   # static: reference skips when all gains 0
             img = hsv_jitter(img, kh, hsv_h, hsv_s, hsv_v)
         do_lr = jax.random.uniform(kf1) < fliplr
@@ -188,4 +329,4 @@ def device_augment(imgs_u8, labels, key, *, degrees=0.0, translate=0.1,
         lbl = jnp.concatenate([lbl[:, 0:1], lbl_x, lbl_y, lbl[:, 3:]], -1)
         return img, lbl
 
-    return jax.vmap(one)(imgs_u8, labels, keys)
+    return jax.vmap(one)(jnp.arange(b), keys)

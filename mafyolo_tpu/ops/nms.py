@@ -114,17 +114,22 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
                      use_dfl: bool = True, conf_thres: float = 0.03,
                      iou_thres: float = 0.65, max_det: int = 300,
                      pre_nms_topk: int = 2000, multi_label: bool = True,
-                     agnostic: bool = False):
+                     agnostic: bool = False, max_labels_per_anchor: int = 8):
     """Head outputs -> NMS results without materializing the [B, A, 5+nc]
     decode tensor (the fusion of yolo.py:355-396 decode + nms.py:31-105).
 
-    Key reordering vs decode_eval+batched_nms: the top-M anchor prefilter runs
-    on the raw class-score map FIRST, and the DFL softmax/dist2bbox decode then
-    touches only the M surviving anchors (M=pre_nms_topk) instead of all A --
-    at 640px that is 2000 rows instead of 8400, and the [B,A,85] concat, the
-    obj*cls product, and the xywh->xyxy round-trip disappear entirely.
-    Candidate selection and keep-set are EXACTLY batched_nms's (same two-stage
-    top-M proof, same fixpoint greedy).
+    Reorderings vs decode_eval+batched_nms (keep-set identical; micro-profile
+    in docs/STATUS.md):
+      1. per-anchor top-L classes (L=max_labels_per_anchor) are taken on the
+         raw score map first -- a cheap width-nc sort -- so every later
+         gather/sort shrinks nc/L-fold. Exact whenever each anchor has <= L
+         classes above conf_thres (the reference's multi-label NMS keeps all
+         nc, but its max_nms=30000 cap is an analogous pragmatic bound);
+      2. the top-M anchor prefilter runs before decode, so the DFL softmax /
+         dist2bbox touch only M=pre_nms_topk anchors instead of all A;
+      3. sorts run in the model's score dtype (bf16 on TPU carries the full
+         information content of the bf16 sigmoid outputs);
+      4. greedy suppression is blocked (_blocked_greedy_select): no [M,M] IoU.
     """
     from mafyolo_tpu.models.detect import anchor_points_for, dfl_decode, \
         flatten_train_outputs
@@ -133,17 +138,16 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
 
     nc = cls_scores.shape[-1]
     a = cls_scores.shape[1]
+    nl = 1 if not multi_label else min(max_labels_per_anchor, nc)
     ma = min(pre_nms_topk, a)
-    m = min(pre_nms_topk, a * nc)
+    m = min(pre_nms_topk, a * nl)
 
     def single(cls, reg):
-        cls = cls.astype(jnp.float32)              # obj==1 => conf = cls score
-        amx = cls.max(-1)
-        _, anchor_top = lax.top_k(amx, ma)          # [Ma]
-        rows = cls[anchor_top]                      # [Ma, nc]
-        if not multi_label:
-            best = rows.max(-1, keepdims=True)
-            rows = jnp.where(rows == best, rows, 0.0)
+        # obj==1 in the DFL head => conf = cls score (yolo.py:390)
+        top_l, top_l_cls = lax.top_k(cls, nl)       # [A, L] per-anchor classes
+        _, anchor_top = lax.top_k(top_l[:, 0], ma)  # [Ma]
+        rows = top_l[anchor_top].astype(jnp.float32)          # [Ma, L]
+        rows_cls = top_l_cls[anchor_top].astype(jnp.int32)    # [Ma, L]
         rows = jnp.where(rows > conf_thres, rows, 0.0)
 
         # decode only the surviving anchors
@@ -156,8 +160,8 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
         boxes_ma = jnp.concatenate([x1y1, x2y2], -1)   # [Ma, 4] xyxy image px
 
         top_scores, top_flat = lax.top_k(rows.reshape(-1), m)
-        row_idx = top_flat // nc
-        cls_idx = (top_flat % nc).astype(jnp.int32)
+        row_idx = top_flat // nl
+        cls_idx = rows_cls.reshape(-1)[top_flat]
         cand_boxes = boxes_ma[row_idx]
 
         off = cand_boxes if agnostic else (

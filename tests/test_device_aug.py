@@ -66,3 +66,61 @@ def test_hsv_jitter_preserves_range(rng):
     # zero-ish gains shouldn't change much
     out2 = hsv_jitter(img, jax.random.PRNGKey(1), hgain=0.0, sgain=0.0, vgain=0.0)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(img), atol=1e-3)
+
+
+def test_device_mosaic_tiles_and_labels(rng):
+    """mosaic=1.0: output mixes pixels from multiple batch images; labels stay
+    normalized, valid-prefixed, fixed-shape; same key reproduces bitwise."""
+    b, h = 4, 64
+    imgs = np.zeros((b, h, h, 3), np.uint8)
+    for i in range(b):        # solid, distinguishable colors
+        imgs[i] = (i + 1) * 50
+    labels = np.zeros((b, 8, 5), np.float32)
+    labels[:, :, 0] = -1
+    for i in range(b):
+        labels[i, 0] = [i, 0.5, 0.5, 0.5, 0.5]
+    imgs, labels = jnp.asarray(imgs), jnp.asarray(labels)
+
+    out1 = device_augment(imgs, labels, jax.random.PRNGKey(3), degrees=0.0,
+                          translate=0.1, scale=0.5, shear=0.0, hsv_h=0.0,
+                          hsv_s=0.0, hsv_v=0.0, fliplr=0.0, flipud=0.0,
+                          mosaic=1.0)
+    out2 = device_augment(imgs, labels, jax.random.PRNGKey(3), degrees=0.0,
+                          translate=0.1, scale=0.5, shear=0.0, hsv_h=0.0,
+                          hsv_s=0.0, hsv_v=0.0, fliplr=0.0, flipud=0.0,
+                          mosaic=1.0)
+    oi, ol = np.asarray(out1[0]), np.asarray(out1[1])
+    np.testing.assert_array_equal(oi, np.asarray(out2[0]))
+    np.testing.assert_array_equal(ol, np.asarray(out2[1]))
+    assert oi.shape == (b, h, h, 3) and ol.shape == (b, 8, 5)
+
+    # at least one sample shows >= 2 distinct source colors (tiling happened)
+    src_vals = {round((i + 1) * 50 / 255.0, 4) for i in range(b)}
+    mixed = 0
+    for i in range(b):
+        vals = {round(float(v), 4) for v in np.unique(oi[i])}
+        mixed += len(vals & src_vals) >= 2
+    assert mixed >= 1, "no sample contains tiles from multiple images"
+
+    # labels: valid rows lead, coords normalized in [0,1], w/h positive
+    for i in range(b):
+        v = ol[i][ol[i][:, 0] >= 0]
+        if len(v):
+            assert (v[:, 1:3] >= 0).all() and (v[:, 1:3] <= 1).all()
+            assert (v[:, 3:5] > 0).all() and (v[:, 3:5] <= 1).all()
+        first_invalid = np.argmax(ol[i][:, 0] < 0) if (ol[i][:, 0] < 0).any() \
+            else len(ol[i])
+        assert (ol[i][first_invalid:, 0] < 0).all(), "valid rows not prefixed"
+
+
+def test_device_mosaic_prob_zero_matches_plain(rng):
+    """mosaic=0.0 keeps the original (affine) semantics bit-for-bit."""
+    imgs, labels = _batch(rng)
+    a = device_augment(imgs, labels, jax.random.PRNGKey(5), scale=0.5,
+                       hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, fliplr=0.0,
+                       flipud=0.0)
+    b = device_augment(imgs, labels, jax.random.PRNGKey(5), scale=0.5,
+                       hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, fliplr=0.0,
+                       flipud=0.0, mosaic=0.0)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
