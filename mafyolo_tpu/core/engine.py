@@ -210,6 +210,23 @@ class Trainer:
                     self.tb = SummaryWriter(self.save_dir)
                 except Exception:
                     LOGGER.info("tensorboard writer unavailable; skipping")
+        # optional wandb mirror of the TB scalars (reference engine.py:33-35,
+        # args.wandb); the package is not installed in offline envs -> gated
+        self.wandb = None
+        if is_main_process() and getattr(args, "wandb", False):
+            try:
+                import wandb
+                self.wandb = wandb
+                wandb.init(project=getattr(args, "wandb_project", "mafyolo-tpu"),
+                           dir=self.save_dir, config=vars(args))
+            except Exception as e:  # noqa: BLE001
+                LOGGER.warning(f"wandb unavailable ({e}); continuing without")
+
+    def _log_scalar(self, key: str, value, step: int):
+        if self.tb:
+            self.tb.add_scalar(key, value, step)
+        if self.wandb:
+            self.wandb.log({key: value}, step=step)
 
     # ---------- epoch orchestration ----------
 
@@ -276,6 +293,13 @@ class Trainer:
             do_apply = (curr_step - self.last_opt_step) >= sched["accumulate"]
             if do_apply:
                 self.last_opt_step = curr_step
+            if step == 0 and self.tb and is_main_process():
+                # first-batch-of-epoch visualization (engine.py:504-558)
+                from mafyolo_tpu.utils.plots import plot_train_batch
+                grid = plot_train_batch(imgs, targets,
+                                        names=self.data_dict.get("names"))
+                self.tb.add_image("train_batch", grid[:, :, ::-1], epoch,
+                                  dataformats="HWC")
             imgs_dev = jax.device_put(imgs, self._data_sh)
             tgt_dev = jax.device_put(targets.astype(np.float32), self._data_sh)
             self.state, metrics = self.train_step(
@@ -295,12 +319,12 @@ class Trainer:
                     f"epoch {epoch} step {step}/{self.max_stepnum} "
                     + " ".join(f"{k}={v:.4f}" for k, v in running.items())
                     + f" lr={sched['lr_weight']:.5f} img/s={ips:.1f}")
-        if self.tb and running:
+        if (self.tb or self.wandb) and running:
             for k, v in running.items():
-                self.tb.add_scalar(f"train/{k}", v, epoch)
-            self.tb.add_scalar("train/lr", sched["lr_weight"], epoch)
-            self.tb.add_scalar("train/images_per_sec",
-                               n_imgs / max(time.time() - t_start, 1e-9), epoch)
+                self._log_scalar(f"train/{k}", v, epoch)
+            self._log_scalar("train/lr", sched["lr_weight"], epoch)
+            self._log_scalar("train/images_per_sec",
+                             n_imgs / max(time.time() - t_start, 1e-9), epoch)
         return running
 
     # ---------- eval + checkpoint ----------
@@ -346,16 +370,23 @@ class Trainer:
             # rect=True matches the reference's mid-train protocol (its Evaler
             # builds a rect loader, yolov6/core/evaler.py:115-133) so per-epoch
             # AP tracks the final eval protocol
+            def log_vis(imgs_rgb):
+                if self.tb:
+                    for vi, im in enumerate(imgs_rgb):
+                        self.tb.add_image(f"val_pred/{vi}", im, epoch,
+                                          dataformats="HWC")
+
             metrics = run_eval(
                 self.graph, ema_vars, self.nc, self.data_dict, folded=False,
                 img_size=self.img_size, rect=True,
                 batch_size=min(self.batch_size * 2, 64), task="val",
                 half=jax.default_backend() != "cpu",
-                workers=self.args.workers)
+                workers=self.args.workers,
+                on_vis=log_vis if self.tb else None)
             self.ap = metrics.get("AP", 0.0)
-            if self.tb:
+            if self.tb or self.wandb:
                 for k, v in metrics.items():
-                    self.tb.add_scalar(f"val/{k}", v, epoch)
+                    self._log_scalar(f"val/{k}", v, epoch)
         is_best = self.ap > self.best_ap
         self.best_ap = max(self.ap, self.best_ap)
         save_checkpoint(ckpt, is_best, self.save_dir, "last_ckpt")

@@ -161,6 +161,7 @@ class Evaler:
         iouv = np.linspace(0.5, 0.95, 10)
         self._pr_stats = []
         self._pr_seen = 0
+        self.vis_batch = None      # first-batch (det dict, paths) for plotting
         if self.plot_confusion_matrix:
             from mafyolo_tpu.utils.metrics import ConfusionMatrix
             self.confusion_matrix = ConfusionMatrix(nc=self.nc)
@@ -184,6 +185,15 @@ class Evaler:
                 b = boxes[i, :k].copy()
                 if k:
                     self.scale_coords(img_hw, b, shapes[i][0], shapes[i][1])
+                if ds_index < 8:
+                    # native-space detections of the first images, kept for
+                    # val-pred visualization (reference engine.py:561-577)
+                    if self.vis_batch is None:
+                        self.vis_batch = ([], [])
+                    self.vis_batch[0].append(
+                        dict(boxes=b, scores=scores[i, :k],
+                             classes=classes[i, :k]))
+                    self.vis_batch[1].append(self.dataset.img_paths[ds_index])
                     image_id = self.dataset.image_id(ds_index)
                     xywh = np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], -1)
                     for j in range(k):
@@ -312,12 +322,20 @@ class Evaler:
         return self.speed_result
 
 
-def run_eval(graph, variables, nc, data_dict, folded=False, **kwargs) -> Dict:
-    """One-call eval used by the Trainer's per-epoch loop and tools/eval.py."""
+def run_eval(graph, variables, nc, data_dict, folded=False, on_vis=None,
+             **kwargs) -> Dict:
+    """One-call eval used by the Trainer's per-epoch loop and tools/eval.py.
+
+    on_vis: optional callback receiving the annotated first-batch prediction
+    images (utils/plots.plot_val_pred) for tensorboard/wandb logging."""
     evaler = Evaler(data_dict, **kwargs)
     loader = evaler.init_data()
     evaler.init_model(graph, variables, nc, folded=folded)
     preds = evaler.predict_model(loader)
     metrics = evaler.eval_model(preds)
+    if on_vis is not None and evaler.vis_batch:
+        from mafyolo_tpu.utils.plots import plot_val_pred
+        on_vis(plot_val_pred(evaler.vis_batch[0], evaler.vis_batch[1],
+                             names=data_dict.get("names")))
     evaler.report_speed()
     return metrics

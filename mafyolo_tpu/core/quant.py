@@ -301,3 +301,44 @@ def quantized_predict_fn(graph, nc: int, folded_params: Dict, quant_tree: Dict,
                            max_det=max_det)
 
     return predict
+
+
+def int8_predict_fn(graph, nc: int, folded_params: Dict, quant_tree: Dict,
+                    strides=(8, 16, 32), reg_max: int = 16,
+                    conf_thres: float = 0.03, iou_thres: float = 0.65,
+                    max_det: int = 300, dtype=jnp.bfloat16):
+    """Jitted REAL-int8 forward (int8 x int8 -> int32 MXU convs; the TPU
+    replacement for the reference's TensorRT int8 engine) + fused decode/NMS.
+
+    Requires a fully-calibrated quant tree: sensitive-layer skipping is a
+    fake-quant/mixed-precision concept; real-int8 deploy quantizes every conv.
+    """
+    for leaf in jax.tree.leaves(quant_tree):
+        if float(np.asarray(leaf).min() if np.asarray(leaf).ndim else leaf) <= 0:
+            raise ValueError("int8 deploy needs every act_amax > 0 "
+                             "(run calibration without skip_layers)")
+    from mafyolo_tpu.models import blocks as _B
+    from mafyolo_tpu.ops.nms import fused_decode_nms
+
+    model = build_model(graph, nc=nc, deploy=True, quant=True, dtype=dtype)
+    variables = jax.device_put(
+        {"params": folded_params["params"], "quant": quant_tree})
+
+    def fwd(imgs_u8):
+        x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
+        outs = model.apply(variables, x, train=False)
+        return fused_decode_nms(outs, strides=strides, reg_max=reg_max,
+                                conf_thres=conf_thres,
+                                iou_thres=iou_thres, max_det=max_det)
+
+    predict = jax.jit(fwd)
+
+    def predict_int8(imgs_u8):
+        # jit traces lazily (once per input shape); arm the module flag around
+        # every call so any trace sees the int8 path
+        _B.INT8_INFER = True
+        try:
+            return predict(imgs_u8)
+        finally:
+            _B.INT8_INFER = False
+    return predict_int8

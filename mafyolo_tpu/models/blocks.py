@@ -134,6 +134,12 @@ def fake_quant_sym(x, amax, bits: int = 8):
 # amax methods; a module flag because it only affects calibration tracing).
 CALIB_HIST_BINS = 0
 
+# When True, quant-mode _RawConv runs REAL int8 convolutions (int8 x int8 ->
+# int32 on the MXU, measured 1.55x bf16 on v5e) instead of bf16 fake-quant
+# simulation. Set by core/quant.int8_predict_fn around its trace; requires a
+# fully-calibrated amax tree (every act_amax > 0).
+INT8_INFER = False
+
 
 class _RawConv(nn.Module):
     """Bare conv (the {'kernel','bias'} leaf of deploy blocks) with optional
@@ -176,6 +182,26 @@ class _RawConv(nn.Module):
                             bins=CALIB_HIST_BINS,
                             range=(0.0, jnp.maximum(amax.value, 1e-12)))
                         hist.value = hist.value + h.astype(jnp.float32)
+            elif INT8_INFER:
+                # real int8 path: per-tensor activation scale, per-out-channel
+                # weight scale, int32 accumulation on the MXU, one fused
+                # dequant+bias epilogue
+                x_scale = jnp.maximum(amax.value, 1e-12) / 127.0
+                w_amax = jnp.abs(kernel).max(axis=(0, 1, 2))        # [cout]
+                w_scale = jnp.maximum(w_amax, 1e-12) / 127.0
+                x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                               -127, 127).astype(jnp.int8)
+                w_q = jnp.clip(jnp.round(kernel / w_scale), -127,
+                               127).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    x_q, w_q, window_strides=(self.stride, self.stride),
+                    padding=[(self.pad, self.pad), (self.pad, self.pad)],
+                    rhs_dilation=(self.dilation, self.dilation),
+                    feature_group_count=self.groups,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * (x_scale * w_scale) + bias
+                return y.astype(self.dtype)
             else:
                 x = fake_quant_sym(x.astype(jnp.float32), amax.value).astype(x.dtype)
             w_amax = jnp.abs(kernel).max(axis=(0, 1, 2), keepdims=True)

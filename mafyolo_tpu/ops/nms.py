@@ -120,16 +120,15 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
 
     Reorderings vs decode_eval+batched_nms (keep-set identical; micro-profile
     in docs/STATUS.md):
-      1. per-anchor top-L classes (L=max_labels_per_anchor) are taken on the
-         raw score map first -- a cheap width-nc sort -- so every later
-         gather/sort shrinks nc/L-fold. Exact whenever each anchor has <= L
-         classes above conf_thres (the reference's multi-label NMS keeps all
-         nc, but its max_nms=30000 cap is an analogous pragmatic bound);
-      2. the top-M anchor prefilter runs before decode, so the DFL softmax /
+      1. the top-M anchor prefilter runs before decode, so the DFL softmax /
          dist2bbox touch only M=pre_nms_topk anchors instead of all A;
-      3. sorts run in the model's score dtype (bf16 on TPU carries the full
-         information content of the bf16 sigmoid outputs);
-      4. greedy suppression is blocked (_blocked_greedy_select): no [M,M] IoU.
+      2. the [B,A,85] concat, obj*cls product, and xywh->xyxy round-trip
+         disappear entirely;
+      3. greedy suppression is blocked (_blocked_greedy_select): no [M,M] IoU.
+    (A per-anchor top-L class prefilter was tried and rejected: lax.top_k
+    along the class axis of [A,nc] compile-hangs on this XLA:TPU and measured
+    slower at runtime; max_labels_per_anchor is kept for API stability but
+    only distinguishes multi_label on/off.)
     """
     from mafyolo_tpu.models.detect import anchor_points_for, dfl_decode, \
         flatten_train_outputs
@@ -138,17 +137,22 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
 
     nc = cls_scores.shape[-1]
     a = cls_scores.shape[1]
-    nl = 1 if not multi_label else min(max_labels_per_anchor, nc)
     ma = min(pre_nms_topk, a)
-    m = min(pre_nms_topk, a * nl)
+    m = min(pre_nms_topk, a * nc)
 
     def single(cls, reg):
-        # obj==1 in the DFL head => conf = cls score (yolo.py:390)
-        top_l, top_l_cls = lax.top_k(cls, nl)       # [A, L] per-anchor classes
-        _, anchor_top = lax.top_k(top_l[:, 0], ma)  # [Ma]
-        rows = top_l[anchor_top].astype(jnp.float32)          # [Ma, L]
-        rows_cls = top_l_cls[anchor_top].astype(jnp.int32)    # [Ma, L]
-        rows = jnp.where(rows > conf_thres, rows, 0.0)
+        # obj==1 in the DFL head => conf = cls score (yolo.py:390). Scores
+        # stay in the model dtype (bf16 on TPU) through the selection sorts:
+        # they are bf16 sigmoid outputs, so upcasting adds no information and
+        # the sort order is bit-identical while the sort traffic halves.
+        zero = jnp.zeros((), cls.dtype)
+        amx = cls.max(-1)
+        _, anchor_top = lax.top_k(amx, ma)          # [Ma]
+        rows = cls[anchor_top]                      # [Ma, nc]
+        if not multi_label:
+            best = rows.max(-1, keepdims=True)
+            rows = jnp.where(rows == best, rows, zero)
+        rows = jnp.where(rows > conf_thres, rows, zero)
 
         # decode only the surviving anchors
         ltrb = dfl_decode(reg[anchor_top], reg_max) if use_dfl \
@@ -160,14 +164,15 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
         boxes_ma = jnp.concatenate([x1y1, x2y2], -1)   # [Ma, 4] xyxy image px
 
         top_scores, top_flat = lax.top_k(rows.reshape(-1), m)
-        row_idx = top_flat // nl
-        cls_idx = rows_cls.reshape(-1)[top_flat]
+        row_idx = top_flat // nc
+        cls_idx = (top_flat % nc).astype(jnp.int32)
         cand_boxes = boxes_ma[row_idx]
 
         off = cand_boxes if agnostic else (
             cand_boxes + cls_idx[:, None].astype(cand_boxes.dtype) * MAX_WH)
-        b, s, c, v = _blocked_greedy_select(cand_boxes, off, top_scores,
-                                            cls_idx, iou_thres, max_det)
+        b, s, c, v = _blocked_greedy_select(
+            cand_boxes, off, top_scores.astype(jnp.float32), cls_idx,
+            iou_thres, max_det)
         return dict(boxes=b, scores=s, classes=c, valid=v)
 
     return jax.vmap(single)(cls_scores, reg_distri)

@@ -1,0 +1,89 @@
+"""Train-batch / val-prediction visualization (parity: yolov6/core/engine.py
+plot_train_batch / plot_val_pred, engine.py:504-577).
+
+Differences by design: targets arrive as the fixed-shape padded [B, N, 5]
+tensor our loader ships (cls, xywh normalized, pad cls=-1) instead of the
+reference's [M, 6] scatter list; colors are a deterministic per-class palette.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+
+def class_colors(n: int = 256) -> np.ndarray:
+    """Deterministic bright BGR palette, one row per class id."""
+    rng = np.random.default_rng(0)
+    return rng.integers(64, 256, (n, 3)).astype(np.int32)
+
+
+def plot_train_batch(images, targets, paths: Optional[Sequence[str]] = None,
+                     names: Optional[Sequence[str]] = None,
+                     max_size: int = 1920, max_subplots: int = 16):
+    """[B,H,W,3] uint8 BGR + [B,N,5] padded labels -> annotated grid (BGR u8)."""
+    images = np.asarray(images)
+    targets = np.asarray(targets)
+    if images.dtype != np.uint8:
+        images = (images * 255).clip(0, 255).astype(np.uint8)
+    bs, h, w = images.shape[:3]
+    bs = min(bs, max_subplots)
+    ns = int(np.ceil(bs ** 0.5))
+    colors = class_colors()
+    mosaic = np.full((ns * h, ns * w, 3), 255, np.uint8)
+    for i in range(bs):
+        x, y = w * (i // ns), h * (i % ns)
+        mosaic[y:y + h, x:x + w] = images[i]
+    scale = max_size / ns / max(h, w)
+    if scale < 1:
+        h, w = math.ceil(scale * h), math.ceil(scale * w)
+        mosaic = cv2.resize(mosaic, (w * ns, h * ns))
+    for i in range(bs):
+        x, y = w * (i // ns), h * (i % ns)
+        cv2.rectangle(mosaic, (x, y), (x + w, y + h), (255, 255, 255), 2)
+        if paths:
+            cv2.putText(mosaic, os.path.basename(paths[i])[:40], (x + 5, y + 15),
+                        cv2.FONT_HERSHEY_COMPLEX, 0.5, (220, 220, 220), 1)
+        t = targets[i]
+        t = t[t[:, 0] >= 0]
+        for cls, cx, cy, bw, bh in t:
+            b = [int((cx - bw / 2) * w) + x, int((cy - bh / 2) * h) + y,
+                 int((cx + bw / 2) * w) + x, int((cy + bh / 2) * h) + y]
+            color = tuple(int(c) for c in colors[int(cls) % len(colors)])
+            label = str(names[int(cls)]) if names else str(int(cls))
+            cv2.rectangle(mosaic, (b[0], b[1]), (b[2], b[3]), color, 1)
+            cv2.putText(mosaic, label, (b[0], b[1] - 5),
+                        cv2.FONT_HERSHEY_COMPLEX, 0.5, color, 1)
+    return mosaic
+
+
+def plot_val_pred(dets, paths: Sequence[str],
+                  names: Optional[Sequence[str]] = None, vis_conf: float = 0.3,
+                  vis_max_box_num: int = 5) -> List[np.ndarray]:
+    """Per-image detection dicts [{'boxes' [k,4] native xyxy, 'scores',
+    'classes'}, ...] + original image paths -> annotated RGB images
+    (engine.py:561-577 plot_val_pred)."""
+    colors = class_colors()
+    out = []
+    for det, path in zip(dets, paths):
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        boxes = np.asarray(det["boxes"])
+        scores = np.asarray(det["scores"])
+        classes = np.asarray(det["classes"])
+        for j in range(min(len(boxes), vis_max_box_num + 1)):
+            if scores[j] < vis_conf:
+                break
+            cls_id = int(classes[j])
+            color = tuple(int(c) for c in colors[cls_id % len(colors)])
+            b = boxes[j].astype(int)
+            cv2.rectangle(img, (b[0], b[1]), (b[2], b[3]), color, 1)
+            label = str(names[cls_id]) if names else str(cls_id)
+            cv2.putText(img, f"{label}: {scores[j]:.2f}", (b[0], b[1] - 10),
+                        cv2.FONT_HERSHEY_COMPLEX, 0.5, color, 1)
+        out.append(img[:, :, ::-1].copy())
+    return out

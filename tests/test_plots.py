@@ -1,0 +1,41 @@
+"""Train-batch / val-pred visualization plumbing."""
+import numpy as np
+
+from mafyolo_tpu.utils.plots import plot_train_batch, plot_val_pred
+
+
+def test_plot_train_batch_grid(tmp_path):
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+    targets = np.full((4, 6, 5), -1, np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    grid = plot_train_batch(imgs, targets, names=["a", "b", "c"])
+    assert grid.shape == (128, 128, 3) and grid.dtype == np.uint8
+    # annotated grid differs from raw tiling (borders + boxes drawn)
+    raw = np.full_like(grid, 255)
+    raw[:64, :64] = imgs[0]
+    assert not np.array_equal(grid, raw)
+
+
+def test_plot_val_pred_draws(tmp_path):
+    import cv2
+    rng = np.random.default_rng(1)
+    path = str(tmp_path / "img.jpg")
+    cv2.imwrite(path, rng.integers(0, 255, (80, 80, 3), dtype=np.uint8))
+    dets = [dict(boxes=np.array([[10.0, 10, 50, 50]]),
+                 scores=np.array([0.9]), classes=np.array([0]))]
+    out = plot_val_pred(dets, [path], names=["thing"])
+    assert len(out) == 1 and out[0].shape == (80, 80, 3)
+    base = cv2.imread(path)[:, :, ::-1]
+    assert not np.array_equal(out[0], base), "no boxes drawn"
+
+
+def test_plot_val_pred_conf_gate(tmp_path):
+    import cv2
+    path = str(tmp_path / "img.jpg")
+    cv2.imwrite(path, np.zeros((40, 40, 3), np.uint8))
+    dets = [dict(boxes=np.array([[5.0, 5, 30, 30]]),
+                 scores=np.array([0.1]), classes=np.array([0]))]
+    out = plot_val_pred(dets, [path], vis_conf=0.3)
+    base = cv2.imread(path)[:, :, ::-1]
+    np.testing.assert_array_equal(out[0], base)

@@ -90,6 +90,52 @@ def test_histogram_calibration_end_to_end():
     assert out["boxes"].shape == (2, 300, 4)
 
 
+def test_int8_real_inference_matches_fake_quant():
+    """REAL int8 convs (int32 MXU accumulation) track the fake-quant simulation
+    closely, and the int8 path requires a fully-calibrated tree."""
+    import pytest
+
+    from mafyolo_tpu.core.quant import int8_predict_fn, ptq_calibrate
+    from mafyolo_tpu.models.detect import decode_eval
+
+    nc, img = 5, 64
+    tm = build_model("maf-yolo-n", nc=nc)
+    v = tm.init(jax.random.PRNGKey(2), jnp.zeros((1, img, img, 3)), train=False)
+    folded = fold_variables(tm.specs, v)
+    rng = np.random.default_rng(2)
+    batches = [rng.integers(0, 255, (2, img, img, 3), dtype=np.uint8)
+               for _ in range(2)]
+    quant = ptq_calibrate("maf-yolo-n", nc, folded, batches, max_batches=2)
+
+    predict8 = int8_predict_fn("maf-yolo-n", nc, folded, quant,
+                               conf_thres=0.001, dtype=jnp.float32)
+    out8 = predict8(jnp.asarray(batches[0]))
+    assert out8["boxes"].shape == (2, 300, 4)
+
+    # compare raw decodes: int8-real vs fake-quant sim
+    from mafyolo_tpu.models import blocks as _B
+    qmodel = build_model("maf-yolo-n", nc=nc, deploy=True, quant=True)
+    xf = jnp.asarray(batches[0])[..., ::-1].astype(jnp.float32) / 255.0
+    dec_fake = decode_eval(qmodel.apply(
+        {"params": folded["params"], "quant": quant}, xf, train=False),
+        strides=(8, 16, 32))
+    _B.INT8_INFER = True
+    try:
+        dec_real = decode_eval(qmodel.apply(
+            {"params": folded["params"], "quant": quant}, xf, train=False),
+            strides=(8, 16, 32))
+    finally:
+        _B.INT8_INFER = False
+    cls_f = np.asarray(dec_fake[..., 5:])
+    cls_r = np.asarray(dec_real[..., 5:])
+    assert np.abs(cls_f - cls_r).mean() < 0.02
+
+    # uncalibrated tree is rejected
+    zeroed = jax.tree.map(lambda a: np.zeros_like(np.asarray(a)), quant)
+    with pytest.raises(ValueError):
+        int8_predict_fn("maf-yolo-n", nc, folded, zeroed)
+
+
 def test_ptq_calibrate_and_predict():
     nc, img = 5, 64
     tm = build_model("maf-yolo-n", nc=nc)

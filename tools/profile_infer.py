@@ -84,8 +84,20 @@ def main():
         fns["e2e fused (s2d)"] = jax.jit(lambda u8: fused_decode_nms(
             model_s2d.apply(folded_s2d, norm(u8), train=False),
             strides=(8, 16, 32), conf_thres=0.03, iou_thres=0.65, max_det=300))
+        fns["e2e fused (plain)"] = jax.jit(lambda u8: fused_decode_nms(
+            model.apply(folded, norm(u8), train=False),
+            strides=(8, 16, 32), conf_thres=0.03, iou_thres=0.65, max_det=300))
     except ImportError:
         pass
+    try:
+        from mafyolo_tpu.core.quant import int8_predict_fn, ptq_calibrate
+        quant = ptq_calibrate("maf-yolo-n", 80, folded,
+                              [np.asarray(imgs[:2])], max_batches=1,
+                              dtype=dtype)
+        fns["e2e int8 (real MXU int8)"] = int8_predict_fn(
+            "maf-yolo-n", 80, folded, quant, conf_thres=0.03, dtype=dtype)
+    except Exception as e:  # noqa: BLE001
+        print(f"int8 path unavailable: {e}")
 
     for name, fn in fns.items():
         t = timeit(lambda f=fn: f(imgs), n=args.iters)

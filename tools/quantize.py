@@ -100,18 +100,26 @@ def run(args):
 
     if args.eval:
         from mafyolo_tpu.core.evaler import Evaler
-        for tag, q in (("fp", None), ("int8", quant_tree)):
+        from mafyolo_tpu.core.quant import (int8_predict_fn,
+                                            quantized_predict_fn)
+        modes = [("fp", None), ("int8-sim", quantized_predict_fn)]
+        if not args.sensitive_layers_skip:
+            # real int8 needs every conv calibrated (mixed precision is a
+            # fake-quant concept)
+            modes.append(("int8-real", int8_predict_fn))
+        for tag, mk in modes:
             evaler = Evaler(data_dict, img_size=args.img_size,
                             batch_size=args.batch_size, workers=args.workers)
             loader_v = evaler.init_data()
             evaler.init_model(graph, variables, nc, folded=True)
-            if q is not None:
-                from mafyolo_tpu.core.quant import quantized_predict_fn
-                evaler._predict = quantized_predict_fn(
-                    graph, nc, variables, q, conf_thres=evaler.conf_thres,
+            if mk is not None:
+                evaler._predict = mk(
+                    graph, nc, variables, quant_tree,
+                    conf_thres=evaler.conf_thres,
                     iou_thres=evaler.iou_thres, max_det=evaler.max_det)
             metrics = evaler.eval_model(evaler.predict_model(loader_v))
             LOGGER.info(f"{tag}: AP={metrics.get('AP', 0):.4f}")
+            evaler.report_speed()
 
 
 def sensitivity_sweep(args, graph, nc, variables, quant_tree, data_dict):

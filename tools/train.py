@@ -43,6 +43,9 @@ def get_args_parser():
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--remat", type=int, default=1,
                    help="per-block rematerialization (recommended on TPU)")
+    p.add_argument("--wandb", action="store_true",
+                   help="mirror scalars to wandb (if installed)")
+    p.add_argument("--wandb-project", default="mafyolo-tpu")
     p.add_argument("--simota", action="store_true", help="use SimOTA loss")
     p.add_argument("--distill", action="store_true",
                    help="knowledge distillation from --teacher-model-path")
