@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compile; excluded from the fast subset
+
 from tests.conftest import REFERENCE, requires_reference
 from tests.helpers import make_synth_dataset
 

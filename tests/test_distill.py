@@ -11,6 +11,8 @@ import jax.numpy as jnp
 from mafyolo_tpu.models import build_model
 from mafyolo_tpu.models.losses.distill import (distill_detection_loss,
                                                distill_loss_cls)
+
+pytestmark = pytest.mark.slow  # full-model compile; excluded from the fast subset
 from tests.conftest import REFERENCE, requires_reference
 
 if REFERENCE not in sys.path:

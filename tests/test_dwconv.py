@@ -7,6 +7,8 @@ import jax.numpy as jnp
 
 from mafyolo_tpu.ops.dwconv import dw_conv
 
+pytestmark = pytest.mark.slow  # full-model compile; excluded from the fast subset
+
 
 def _ref(x, k, pad, dilation):
     c = x.shape[-1]

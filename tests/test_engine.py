@@ -1,9 +1,12 @@
 """Trainer integration: two epochs end-to-end on a tiny synthetic dataset (CPU)."""
+import pytest
 import numpy as np
 
 from mafyolo_tpu.core.engine import Trainer
 from mafyolo_tpu.utils.config import Config
 from mafyolo_tpu.utils.events import load_yaml
+
+pytestmark = pytest.mark.slow  # full-model compile; excluded from the fast subset
 from tests.helpers import make_synth_dataset
 
 

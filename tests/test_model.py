@@ -11,6 +11,8 @@ from mafyolo_tpu.models.detect import (anchor_points_for, decode_eval,
 from mafyolo_tpu.models.graph import parse_graph
 from mafyolo_tpu.models.zoo import MODEL_ZOO
 
+pytestmark = pytest.mark.slow  # full-model compile; excluded from the fast subset
+
 
 @pytest.mark.parametrize("name,cout_head", [("maf-yolo-n", (128, 128, 192)),
                                             ("maf-yolo-s", (192, 192, 256)),

@@ -17,6 +17,8 @@ from mafyolo_tpu.models import build_model  # noqa: E402
 from mafyolo_tpu.models.detect import decode_eval  # noqa: E402
 from mafyolo_tpu.models.reparam import fold_variables  # noqa: E402
 from mafyolo_tpu.utils.torch_bridge import state_dict_to_variables  # noqa: E402
+
+pytestmark = pytest.mark.slow  # full-model compile; excluded from the fast subset
 from tests.ref_compat import build_reference_model  # noqa: E402
 
 

@@ -1,4 +1,5 @@
 """Pallas greedy-NMS kernel: exactness vs the XLA fixpoint (interpret mode on CPU)."""
+import pytest
 import numpy as np
 
 import jax
@@ -7,6 +8,8 @@ import jax.numpy as jnp
 from mafyolo_tpu.ops.boxes import box_iou_pairwise
 from mafyolo_tpu.ops.nms import _greedy_nms_mask
 from mafyolo_tpu.ops.pallas_nms import pallas_greedy_nms
+
+pytestmark = pytest.mark.slow  # full-model compile; excluded from the fast subset
 
 
 def test_pallas_nms_matches_xla_greedy(rng):

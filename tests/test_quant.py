@@ -9,6 +9,9 @@ from mafyolo_tpu.models.blocks import fake_quant_sym
 from mafyolo_tpu.models.detect import decode_eval
 from mafyolo_tpu.models.reparam import fold_variables
 
+import pytest
+pytestmark = pytest.mark.slow  # full-model compile; excluded from the fast subset
+
 
 def test_fake_quant_grid_and_ste():
     x = jnp.linspace(-2, 2, 41)

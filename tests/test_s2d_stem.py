@@ -1,10 +1,13 @@
 """Space-to-depth stem: folded s2d model == folded standard model, numerically."""
+import pytest
 import numpy as np
 
 import jax
 
 from mafyolo_tpu.models import build_model
 from mafyolo_tpu.models.reparam import fold_variables
+
+pytestmark = pytest.mark.slow  # full-model compile; excluded from the fast subset
 
 
 def test_s2d_stem_identity():

@@ -1,4 +1,5 @@
 """SimOTA loss + head: shapes, finiteness, assignment sanity, decode."""
+import pytest
 import numpy as np
 
 import jax
@@ -7,6 +8,8 @@ import jax.numpy as jnp
 from mafyolo_tpu.models.blocks import Head_Simota
 from mafyolo_tpu.models.detect import decode_simota_eval
 from mafyolo_tpu.models.losses.simota import simota_loss
+
+pytestmark = pytest.mark.slow  # full-model compile; excluded from the fast subset
 
 
 def _fake_outs(key, b=2, nc=4, hw=((8, 8), (4, 4), (2, 2))):
