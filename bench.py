@@ -29,20 +29,30 @@ def main():
     on_accel = backend != "cpu"
     dtype = jnp.bfloat16 if on_accel else jnp.float32
     batch = 32 if on_accel else 2
-    iters = 20 if on_accel else 2
+    # 100 iters: the tunneled dispatch pipeline has a ~25ms warm-up that
+    # inflates short runs by >1ms/call (docs/STATUS.md round-2 notes)
+    iters = 100 if on_accel else 2
 
     train_model = build_model("maf-yolo-n", nc=80)
     variables = jax.jit(train_model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
-    # plain stem (s2d measured slower on v5e, tools/profile_infer.py) + fused
-    # decode->NMS (ops/nms.fused_decode_nms)
+    # deploy path: XLA stem + fused decode->NMS. The Pallas stem kernel
+    # (ops/stem_pallas.py) wins standalone (2.1 vs 4.0 ms) but loses in-graph
+    # (15.5 vs 13.8 ms fwd): the pallas_call boundary blocks XLA's
+    # norm+stem+layer1 fusion -- kept as a tested building block, off here.
     folded = jax.device_put(fold_variables(train_model.specs, variables))
-    model = build_model("maf-yolo-n", nc=80, deploy=True, dtype=dtype)
+    from mafyolo_tpu.ops.stem_pallas import pallas_stem_apply, stem_supported
+    use_pallas_stem = False and on_accel and stem_supported(train_model.specs)
+    model = build_model("maf-yolo-n", nc=80, deploy=True,
+                        skip_stem=use_pallas_stem, dtype=dtype)
 
     @jax.jit
     def predict(imgs_u8):
-        x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
-        outs = model.apply(folded, x, train=False)
+        if use_pallas_stem:
+            outs = pallas_stem_apply(model, folded, imgs_u8, dtype)
+        else:
+            x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
+            outs = model.apply(folded, x, train=False)
         return fused_decode_nms(outs, strides=model.strides,
                                 reg_max=model.reg_max, conf_thres=0.03,
                                 iou_thres=0.65, max_det=300)

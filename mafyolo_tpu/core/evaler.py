@@ -85,20 +85,32 @@ class Evaler:
         """
         dtype = jnp.bfloat16 if self.half else jnp.float32
         use_s2d = s2d_stem and not folded
+        # The Pallas stem kernel (ops/stem_pallas.py) wins standalone but the
+        # pallas_call boundary blocks XLA's norm+stem+layer1 fusion and loses
+        # in-graph (docs/STATUS.md round-2 measurements) -- machinery kept,
+        # default off.
+        from mafyolo_tpu.ops.stem_pallas import (pallas_stem_apply,
+                                                 stem_supported)
+        specs = build_model(graph, nc=nc).specs
+        use_pallas_stem = bool(int(__import__("os").environ.get(
+            "MAFYOLO_PALLAS_STEM", "0"))) and \
+            jax.default_backend() != "cpu" and not use_s2d \
+            and stem_supported(specs)
         model = build_model(graph, nc=nc, deploy=True, s2d_stem=use_s2d,
-                            dtype=dtype)
+                            skip_stem=use_pallas_stem, dtype=dtype)
         if not folded:
-            train_model = build_model(graph, nc=nc)
-            variables = fold_variables(train_model.specs, variables,
-                                       s2d_stem=use_s2d)
+            variables = fold_variables(specs, variables, s2d_stem=use_s2d)
         self.model = model
         self.variables = jax.device_put(variables)
         self.nc = nc
 
         @jax.jit
         def predict(imgs_u8):
-            x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
-            outs = model.apply(self.variables, x, train=False)
+            if use_pallas_stem:
+                outs = pallas_stem_apply(model, self.variables, imgs_u8, dtype)
+            else:
+                x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
+                outs = model.apply(self.variables, x, train=False)
             # fused decode+NMS: top-M anchor prefilter on the raw score maps,
             # DFL decode only on survivors (ops/nms.fused_decode_nms; exactness
             # vs decode_eval+batched_nms tested in tests/test_nms.py)

@@ -160,6 +160,9 @@ class GraphNet(nn.Module):
     quant: bool = False
     calibrate: bool = False
     s2d_stem: bool = False
+    skip_stem: bool = False   # caller runs layer0 externally (Pallas stem
+                              # kernel, ops/stem_pallas.py); input IS layer0's
+                              # output
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -169,6 +172,10 @@ class GraphNet(nn.Module):
         for spec in self.specs:
             if spec.kind == "Out":
                 return [y[j] for j in self.out_frm]
+            if self.skip_stem and spec.idx == 0:
+                if spec.idx in self.save:
+                    y[spec.idx] = x
+                continue
             if spec.frm != (-1,):
                 inp = [x if j == -1 else y[j if j >= 0 else spec.idx + j]
                        for j in spec.frm]
@@ -221,6 +228,7 @@ class MAFYolo(nn.Module):
     quant: bool = False
     calibrate: bool = False
     s2d_stem: bool = False
+    skip_stem: bool = False
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -229,14 +237,16 @@ class MAFYolo(nn.Module):
         return GraphNet(self.specs, self.save, self.out_frm, deploy=self.deploy,
                         plain_rep=self.plain_rep,
                         quant=self.quant, calibrate=self.calibrate,
-                        s2d_stem=self.s2d_stem, remat=self.remat,
+                        s2d_stem=self.s2d_stem, skip_stem=self.skip_stem,
+                        remat=self.remat,
                         dtype=self.dtype, name="net")(x, train)
 
 
 def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
                 strides: Tuple[int, ...] = (8, 16, 32), deploy: bool = False,
                 quant: bool = False, calibrate: bool = False,
-                s2d_stem: bool = False, remat: bool = False,
+                s2d_stem: bool = False, skip_stem: bool = False,
+                remat: bool = False,
                 plain_rep: bool = False, dtype: Any = jnp.float32) -> MAFYolo:
     """Build a MAFYolo from a zoo name, a graph dict, or a reference-format yaml path."""
     if isinstance(graph, str):
@@ -250,4 +260,4 @@ def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
     return MAFYolo(specs=specs, save=save, out_frm=out_frm, nc=nc, reg_max=reg_max,
                    strides=strides, deploy=deploy, plain_rep=plain_rep,
                    quant=quant, calibrate=calibrate, s2d_stem=s2d_stem,
-                   remat=remat, dtype=dtype)
+                   skip_stem=skip_stem, remat=remat, dtype=dtype)
