@@ -50,7 +50,21 @@ def _bwd_rule(pad, dilation, res, g):
         g, jnp.flip(kernel, axis=(0, 1)).astype(g.dtype), window_strides=(1, 1),
         padding=[(pad_t, pad_t), (pad_t, pad_t)], rhs_dilation=(dilation, dilation),
         feature_group_count=c, dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # dkernel: unrolled shifted reductions (K^2 taps)
+    # dkernel alternative: Pallas one-pass accumulation (ops/dw_grad_pallas.py,
+    # parity-tested). MEASURED SLOWER in-graph on v5e (bwd 202 vs 180ms): the
+    # per-conv pallas_call boundaries forfeit XLA's fusion of the tap
+    # reductions, same pattern as the stem kernel (docs/STATUS.md). Kept
+    # opt-in via MAFYOLO_PALLAS_DWGRAD=1.
+    import os
+    from mafyolo_tpu.ops.dw_grad_pallas import (dw_grad_kernel,
+                                                dw_grad_supported)
+    if (os.environ.get("MAFYOLO_PALLAS_DWGRAD") == "1"
+            and jax.default_backend() not in ("cpu",)
+            and dw_grad_supported(x.shape[1], k, dilation)
+            and 2 * pad == (k - 1) * dilation):
+        dk = dw_grad_kernel(x, g, k, pad, dilation).astype(kernel.dtype)
+        return dx.astype(x.dtype), dk
+    # default: unrolled shifted reductions (K^2 taps; XLA fuses them well)
     xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
     gh, gw = g.shape[1], g.shape[2]
     gf = g.astype(jnp.float32)

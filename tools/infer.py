@@ -89,6 +89,9 @@ def run(args):
                            iou_thres=args.iou_thres, max_det=args.max_det,
                            multi_label=False)
 
+    # webcam source: numeric --source N (reference inferer webcam path)
+    if str(args.source).isnumeric():
+        return run_webcam(args, predict, names)
     src = Path(args.source)
     if src.is_dir():
         files = sorted(p for p in src.iterdir()
