@@ -293,6 +293,15 @@ class Trainer:
             do_apply = (curr_step - self.last_opt_step) >= sched["accumulate"]
             if do_apply:
                 self.last_opt_step = curr_step
+            # device-trace hook (SURVEY 5.1; the torch_utils.time_sync analog
+            # for whole-step profiling): steps 2-7 of the first epoch
+            if getattr(self.args, "profile", False) and epoch == self.start_epoch:
+                if step == 2:
+                    jax.profiler.start_trace(osp.join(self.save_dir, "profile"))
+                    LOGGER.info("jax.profiler trace started (steps 2-7)")
+                elif step == 7:
+                    jax.profiler.stop_trace()
+                    LOGGER.info(f"profiler trace -> {self.save_dir}/profile")
             if step == 0 and self.tb and is_main_process():
                 # first-batch-of-epoch visualization (engine.py:504-558)
                 from mafyolo_tpu.utils.plots import plot_train_batch

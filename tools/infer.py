@@ -26,7 +26,10 @@ VID_FORMATS = (".mp4", ".avi", ".mov", ".mkv")
 def get_args_parser():
     p = argparse.ArgumentParser("MAF-YOLO-TPU inference")
     p.add_argument("--weights", required=True)
-    p.add_argument("--source", required=True, help="image / dir / video path")
+    p.add_argument("--source", required=True,
+                   help="image / dir / video path, or a webcam index (e.g. 0)")
+    p.add_argument("--webcam-frames", type=int, default=300,
+                   help="frames to capture from a webcam source")
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--conf-thres", type=float, default=0.4)
     p.add_argument("--iou-thres", type=float, default=0.45)
@@ -89,11 +92,11 @@ def run(args):
                            iou_thres=args.iou_thres, max_det=args.max_det,
                            multi_label=False)
 
-    # webcam source: numeric --source N (reference inferer webcam path)
-    if str(args.source).isnumeric():
-        return run_webcam(args, predict, names)
-    src = Path(args.source)
-    if src.is_dir():
+    webcam = str(args.source).isnumeric()
+    src = Path(args.source) if not webcam else None
+    if webcam:
+        files = []
+    elif src.is_dir():
         files = sorted(p for p in src.iterdir()
                        if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".bmp"))
     elif src.suffix.lower() in VID_FORMATS:
@@ -137,6 +140,33 @@ def run(args):
         if args.save_txt and txt_lines:
             Path(args.save_dir, stem + ".txt").write_text("\n".join(txt_lines) + "\n")
         return im0, len(boxes)
+
+    if webcam:
+        # webcam stream (reference inferer webcam/webcam_addr path): annotated
+        # frames go to save_dir as a video (no display assumed on servers)
+        cap = cv2.VideoCapture(int(args.source))
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot open webcam {args.source}")
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        out_path = osp.join(args.save_dir, f"webcam{args.source}_out.mp4")
+        vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             cap.get(cv2.CAP_PROP_FPS) or 30, (w, h))
+        n = 0
+        try:
+            while n < int(getattr(args, "webcam_frames", 300)):
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frame, _ = infer_frame(frame, f"webcam_{n:06d}")
+                vw.write(frame)
+                n += 1
+        finally:
+            cap.release()
+            vw.release()
+        LOGGER.info(f"webcam -> {out_path} ({n} frames, "
+                    f"{fps.accumulate():.1f} fps)")
+        return
 
     for f in files:
         if f.suffix.lower() in VID_FORMATS:

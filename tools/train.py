@@ -43,6 +43,9 @@ def get_args_parser():
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--remat", type=int, default=1,
                    help="per-block rematerialization (recommended on TPU)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 2-7 into "
+                        "save_dir/profile (tensorboard-viewable)")
     p.add_argument("--wandb", action="store_true",
                    help="mirror scalars to wandb (if installed)")
     p.add_argument("--wandb-project", default="mafyolo-tpu")
