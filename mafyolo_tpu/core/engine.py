@@ -302,8 +302,10 @@ class Trainer:
                 elif step == 7:
                     jax.profiler.stop_trace()
                     LOGGER.info(f"profiler trace -> {self.save_dir}/profile")
-            if step == 0 and self.tb and is_main_process():
-                # first-batch-of-epoch visualization (engine.py:504-558)
+            if (step == 0 and self.tb and is_main_process()
+                    and epoch % max(1, self.eval_interval) == 0):
+                # first-batch visualization on eval epochs (engine.py:504-558;
+                # every-epoch plotting measurably drags a 1-core host)
                 from mafyolo_tpu.utils.plots import plot_train_batch
                 grid = plot_train_batch(imgs, targets,
                                         names=self.data_dict.get("names"))

@@ -237,6 +237,12 @@ class DetectionDataset:
         self.batch_shapes = (np.ceil(
             np.array(shapes) * self.img_size / self.stride + self.pad
         ).astype(np.int64) * self.stride)
+        # TPU shape bucketing: every distinct batch shape is a separate XLA
+        # compile, so round the short side up to a multiple of 64 (the
+        # reference runs eager torch and doesn't care; letterbox pads the
+        # extra rows, scale_coords undoes them). Typically collapses the
+        # per-dataset shape set from dozens to <=5.
+        self.batch_shapes = -(-self.batch_shapes // 64) * 64
 
     def __len__(self):
         return len(self.img_paths)
