@@ -35,6 +35,11 @@ def get_args_parser():
     p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--out", default="export")
+    p.add_argument("--quant", choices=["none", "sim", "int8"], default="none",
+                   help="export the quantized graph from a calibrated ckpt "
+                        "(tools/quantize.py): 'sim' = fake-quant, 'int8' = "
+                        "real int8 MXU convs (the QAT->TRT export analog, "
+                        "tools/qat/qat_export.py)")
     return p
 
 
@@ -56,11 +61,22 @@ def run(args):
     variables = eval_variables(ckpt)
     if not ckpt.get("folded", False):
         variables = fold_variables(build_model(graph, nc=nc).specs, variables)
-    model = build_model(graph, nc=nc, deploy=True)
+    quant_tree = ckpt.get("quant")
+    if args.quant != "none" and quant_tree is None:
+        raise SystemExit("--quant needs a calibrated checkpoint "
+                         "(tools/quantize.py output with a 'quant' tree)")
+    if args.quant == "int8":
+        from mafyolo_tpu.models import blocks as _B
+        _B.INT8_INFER = True   # trace-time flag; the export below traces once
+    model = build_model(graph, nc=nc, deploy=True,
+                        quant=args.quant != "none")
+    apply_vars = dict(params=variables["params"])
+    if args.quant != "none":
+        apply_vars["quant"] = quant_tree
 
     def fwd(imgs_u8):
         x = imgs_u8[..., ::-1].astype(jnp.float32) / 255.0
-        outs = model.apply(variables, x, train=False)
+        outs = model.apply(apply_vars, x, train=False)
         pred = decode_eval(outs, strides=model.strides, reg_max=model.reg_max)
         if args.end2end:
             return batched_nms(pred, conf_thres=args.conf_thres,
