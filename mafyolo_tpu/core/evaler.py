@@ -206,6 +206,7 @@ class Evaler:
                         dict(boxes=b, scores=scores[i, :k],
                              classes=classes[i, :k]))
                     self.vis_batch[1].append(self.dataset.img_paths[ds_index])
+                if k:
                     image_id = self.dataset.image_id(ds_index)
                     xywh = np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], -1)
                     for j in range(k):

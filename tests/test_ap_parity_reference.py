@@ -80,7 +80,9 @@ def test_full_pipeline_ap_parity(tmp_path, bridged):
     from mafyolo_tpu.utils.events import load_yaml
 
     tm, variables = bridged
-    yaml_path = make_synth_dataset(tmp_path / "ds", n_images=6, img_size=160,
+    # >8 images: a round-2 indentation bug silently limited COCO conversion to
+    # the first 8 images (vis-capture block); small fixtures can't catch that
+    yaml_path = make_synth_dataset(tmp_path / "ds", n_images=12, img_size=160,
                                    nc=NC, seed=11)
     data_dict = load_yaml(yaml_path)
 

@@ -94,7 +94,9 @@ def test_evaler_pr_metric_end_to_end(tmp_path):
     from mafyolo_tpu.utils.events import load_yaml
     from tests.helpers import make_synth_dataset
 
-    yaml_path = make_synth_dataset(tmp_path / "ds", n_images=4, img_size=96,
+    # >8 images so every image (not just the first vis-captured 8) must appear
+    # in the COCO conversion
+    yaml_path = make_synth_dataset(tmp_path / "ds", n_images=10, img_size=96,
                                    seed=7)
     data_dict = load_yaml(yaml_path)
     nc = int(data_dict["nc"])
@@ -138,4 +140,7 @@ def test_evaler_pr_metric_end_to_end(tmp_path):
     assert metrics["mAP50"] > 0.99, metrics
     assert metrics["AP50"] > 0.99, metrics        # COCO side agrees
     assert (tmp_path / "confusion_matrix.csv").exists()
-    assert ev._pr_seen == 4
+    assert ev._pr_seen == 10
+    # every image contributed predictions (regression: the vis-capture block
+    # must not swallow the COCO conversion for images beyond the first 8)
+    assert len({p["image_id"] for p in preds}) == 10
