@@ -94,12 +94,14 @@ def test_device_mosaic_tiles_and_labels(rng):
     np.testing.assert_array_equal(ol, np.asarray(out2[1]))
     assert oi.shape == (b, h, h, 3) and ol.shape == (b, 8, 5)
 
-    # at least one sample shows >= 2 distinct source colors (tiling happened)
-    src_vals = {round((i + 1) * 50 / 255.0, 4) for i in range(b)}
+    # at least one sample shows >= 2 distinct source colors (tiling happened);
+    # match within bf16-canvas tolerance
+    src_vals = np.array([(i + 1) * 50 / 255.0 for i in range(b)])
     mixed = 0
     for i in range(b):
-        vals = {round(float(v), 4) for v in np.unique(oi[i])}
-        mixed += len(vals & src_vals) >= 2
+        vals = np.unique(oi[i])
+        hits = sum(bool((np.abs(vals - sv) < 5e-3).any()) for sv in src_vals)
+        mixed += hits >= 2
     assert mixed >= 1, "no sample contains tiles from multiple images"
 
     # labels: valid rows lead, coords normalized in [0,1], w/h positive
@@ -124,3 +126,37 @@ def test_device_mosaic_prob_zero_matches_plain(rng):
                        flipud=0.0, mosaic=0.0)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_separable_warp_matches_gather(rng):
+    """MXU-matmul axis-aligned warp == the per-pixel gather warp (bilinear +
+    border fill), for random scale/translate inverse mappings."""
+    import jax.numpy as jnp2
+    from mafyolo_tpu.data.device_aug import _warp_axis_aligned, _warp_bilinear
+    h = w = 48
+    img = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+    for sx, sy, tx, ty in [(1.1, 0.9, -3.0, 5.0), (0.6, 0.6, 10.0, -8.0),
+                           (1.0, 1.0, 0.0, 0.0), (2.0, 1.5, -20.0, 30.0)]:
+        m_inv = jnp.asarray([[sx, 0, tx], [0, sy, ty], [0, 0, 1]], jnp.float32)
+        a = _warp_bilinear(img, m_inv, h, w, 0.447)
+        b = _warp_axis_aligned(img, m_inv, h, w, 0.447)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_mosaic_canvas_matches_gather(rng):
+    """Canvas+matmul mosaic == virtual-canvas gather mosaic."""
+    from mafyolo_tpu.data.device_aug import (_mosaic_canvas_axis_aligned,
+                                             _warp_mosaic_bilinear)
+    s = 32
+    quad = jnp.asarray(rng.uniform(0, 1, (4, s, s, 3)).astype(np.float32))
+    for xc, yc, sx, tx, ty in [(20, 40, 1.0, -10.0, -5.0),
+                               (48, 17, 0.7, 4.0, 12.0),
+                               (16, 48, 1.4, -30.0, -20.0)]:
+        m_inv = jnp.asarray([[sx, 0, tx], [0, sx, ty], [0, 0, 1]], jnp.float32)
+        a = _warp_mosaic_bilinear(quad, m_inv, jnp.float32(xc),
+                                  jnp.float32(yc), s, s, 0.447)
+        b = _mosaic_canvas_axis_aligned(quad, jnp.float32(xc), jnp.float32(yc),
+                                        m_inv, s, s, 0.447)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-2, atol=1e-2)  # bf16 canvas
