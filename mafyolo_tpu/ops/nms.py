@@ -114,24 +114,33 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
                      use_dfl: bool = True, conf_thres: float = 0.03,
                      iou_thres: float = 0.65, max_det: int = 300,
                      pre_nms_topk: int = 2000, multi_label: bool = True,
-                     agnostic: bool = False, max_labels_per_anchor: int = 8):
+                     agnostic: bool = False, max_labels_per_anchor: int = 8,
+                     compact_k: int = 1024):
     """Head outputs -> NMS results without materializing the [B, A, 5+nc]
     decode tensor (the fusion of yolo.py:355-396 decode + nms.py:31-105).
 
-    Reorderings vs decode_eval+batched_nms (keep-set identical; micro-profile
-    in docs/STATUS.md):
-      1. the top-M anchor prefilter runs before decode, so the DFL softmax /
-         dist2bbox touch only M=pre_nms_topk anchors instead of all A;
-      2. the [B,A,85] concat, obj*cls product, and xywh->xyxy round-trip
-         disappear entirely;
-      3. greedy suppression is blocked (_blocked_greedy_select): no [M,M] IoU.
-    (A per-anchor top-L class prefilter was tried and rejected: lax.top_k
-    along the class axis of [A,nc] compile-hangs on this XLA:TPU and measured
-    slower at runtime; max_labels_per_anchor is kept for API stability but
-    only distinguishes multi_label on/off.)
+    Candidate selection is THRESHOLD COMPACTION (ops/compaction.py): the
+    indices of the (anchor, class) pairs with score > conf_thres are compacted
+    into a [compact_k] buffer with O(A*nc + K*128) vectorized work, replacing
+    the two lax.top_k sorts of the round-2 path (1.7 + 7.6 ms/batch32 -- the
+    measured NMS bottleneck). Only the survivors (typically a few hundred at
+    eval thresholds) are then score-sorted, DFL-decoded, and greedy-suppressed.
+
+    Exactness: while every image has <= compact_k survivors, the candidate set
+    is the COMPLETE set of above-threshold pairs -- identical to the
+    reference's selection (nms.py:63-80) whenever its max_nms=30000 cap does
+    not bind. If any image overflows, a batch-level lax.cond falls back to the
+    round-2 exact top-M path below (reference semantics with max_nms =
+    pre_nms_topk; exactness argument in _blocked_greedy_select).
+
+    Round-2 facts that shaped this: a per-anchor top-L class prefilter
+    (lax.top_k along the class axis) compile-hangs and runs slower;
+    max_labels_per_anchor is kept for API stability but only distinguishes
+    multi_label on/off.
     """
     from mafyolo_tpu.models.detect import anchor_points_for, dfl_decode, \
         flatten_train_outputs
+    from mafyolo_tpu.ops.compaction import compact_mask_indices
     hw_list, cls_scores, reg_distri = flatten_train_outputs(head_outs)
     points, stride_col = anchor_points_for(hw_list, strides)
 
@@ -139,6 +148,41 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
     a = cls_scores.shape[1]
     ma = min(pre_nms_topk, a)
     m = min(pre_nms_topk, a * nc)
+    kp = min(compact_k, a * nc)
+
+    def decode_boxes(reg_rows, anchor_idx):
+        """DFL-decode gathered reg rows at their anchors -> xyxy image px."""
+        ltrb = dfl_decode(reg_rows, reg_max) if use_dfl \
+            else reg_rows.astype(jnp.float32)
+        pts = points[anchor_idx]
+        sc = stride_col[anchor_idx]
+        x1y1 = (pts - ltrb[:, :2]) * sc
+        x2y2 = (pts + ltrb[:, 2:]) * sc
+        return jnp.concatenate([x1y1, x2y2], -1)
+
+    def fast_single(cls, reg):
+        """Threshold-compaction selection for one image."""
+        zero = jnp.zeros((), cls.dtype)
+        if not multi_label:
+            best = cls.max(-1, keepdims=True)
+            cls = jnp.where(cls == best, cls, zero)
+        flat = cls.reshape(-1)
+        pidx, count = compact_mask_indices(flat > conf_thres, kp)
+        slot = jnp.arange(kp, dtype=jnp.int32)
+        valid = slot < count
+        sc = jnp.where(valid, flat[pidx], zero)
+        # sort survivors by score desc (tiny: kp elements, not A*nc)
+        sc_sorted, order = lax.top_k(sc, kp)
+        pidx = pidx[order]
+        row_idx = pidx // nc
+        cls_idx = (pidx % nc).astype(jnp.int32)
+        cand_boxes = decode_boxes(reg[row_idx], row_idx)
+        off = cand_boxes if agnostic else (
+            cand_boxes + cls_idx[:, None].astype(cand_boxes.dtype) * MAX_WH)
+        b, s, c, v = _blocked_greedy_select(
+            cand_boxes, off, sc_sorted.astype(jnp.float32), cls_idx,
+            iou_thres, max_det)
+        return dict(boxes=b, scores=s, classes=c, valid=v), count
 
     def single(cls, reg):
         # obj==1 in the DFL head => conf = cls score (yolo.py:390). Scores
@@ -155,13 +199,7 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
         rows = jnp.where(rows > conf_thres, rows, zero)
 
         # decode only the surviving anchors
-        ltrb = dfl_decode(reg[anchor_top], reg_max) if use_dfl \
-            else reg[anchor_top].astype(jnp.float32)
-        pts = points[anchor_top]
-        sc = stride_col[anchor_top]
-        x1y1 = (pts - ltrb[:, :2]) * sc
-        x2y2 = (pts + ltrb[:, 2:]) * sc
-        boxes_ma = jnp.concatenate([x1y1, x2y2], -1)   # [Ma, 4] xyxy image px
+        boxes_ma = decode_boxes(reg[anchor_top], anchor_top)   # [Ma, 4] xyxy
 
         top_scores, top_flat = lax.top_k(rows.reshape(-1), m)
         row_idx = top_flat // nc
@@ -175,7 +213,11 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
             iou_thres, max_det)
         return dict(boxes=b, scores=s, classes=c, valid=v)
 
-    return jax.vmap(single)(cls_scores, reg_distri)
+    fast_out, counts = jax.vmap(fast_single)(cls_scores, reg_distri)
+    return lax.cond(
+        jnp.any(counts > kp),
+        lambda: jax.vmap(single)(cls_scores, reg_distri),
+        lambda: fast_out)
 
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det",
