@@ -36,20 +36,20 @@ def main():
     train_model = build_model("maf-yolo-n", nc=80)
     variables = jax.jit(train_model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
-    # deploy path: XLA stem + fused decode->NMS. The Pallas stem kernel
-    # (ops/stem_pallas.py) wins standalone (2.1 vs 4.0 ms) but loses in-graph
-    # (15.5 vs 13.8 ms fwd): the pallas_call boundary blocks XLA's
-    # norm+stem+layer1 fusion -- kept as a tested building block, off here.
     folded = jax.device_put(fold_variables(train_model.specs, variables))
-    from mafyolo_tpu.ops.stem_pallas import pallas_stem_apply, stem_supported
-    use_pallas_stem = False and on_accel and stem_supported(train_model.specs)
+    from mafyolo_tpu.ops.frontend_pallas import frontend_apply, \
+        frontend_supported
+    use_frontend = on_accel and frontend_supported(train_model.specs,
+                                                   train_model.save)
     model = build_model("maf-yolo-n", nc=80, deploy=True,
-                        skip_stem=use_pallas_stem, dtype=dtype)
+                        skip_until=1 if use_frontend else -1, dtype=dtype)
 
     @jax.jit
     def predict(imgs_u8):
-        if use_pallas_stem:
-            outs = pallas_stem_apply(model, folded, imgs_u8, dtype)
+        if use_frontend:
+            # fused Pallas front-end (layers 0-1 in one kernel,
+            # ops/frontend_pallas.py)
+            outs = frontend_apply(model, folded, imgs_u8)
         else:
             x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
             outs = model.apply(folded, x, train=False)

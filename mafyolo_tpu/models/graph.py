@@ -163,17 +163,23 @@ class GraphNet(nn.Module):
     skip_stem: bool = False   # caller runs layer0 externally (Pallas stem
                               # kernel, ops/stem_pallas.py); input IS layer0's
                               # output
+    skip_until: int = -1      # caller runs layers 0..skip_until externally
+                              # (fused Pallas front-end, ops/frontend_pallas
+                              # .py); input IS layer skip_until's output
     remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        skip_until = max(self.skip_until, 0 if self.skip_stem else -1)
         y: Dict[int, Any] = {}
         for spec in self.specs:
             if spec.kind == "Out":
                 return [y[j] for j in self.out_frm]
-            if self.skip_stem and spec.idx == 0:
-                if spec.idx in self.save:
+            if spec.idx <= skip_until:
+                # x IS layer skip_until's output; earlier skipped layers'
+                # outputs do not exist (callers check they are not in save)
+                if spec.idx == skip_until and spec.idx in self.save:
                     y[spec.idx] = x
                 continue
             if spec.frm != (-1,):
@@ -229,6 +235,7 @@ class MAFYolo(nn.Module):
     calibrate: bool = False
     s2d_stem: bool = False
     skip_stem: bool = False
+    skip_until: int = -1
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -238,6 +245,7 @@ class MAFYolo(nn.Module):
                         plain_rep=self.plain_rep,
                         quant=self.quant, calibrate=self.calibrate,
                         s2d_stem=self.s2d_stem, skip_stem=self.skip_stem,
+                        skip_until=self.skip_until,
                         remat=self.remat,
                         dtype=self.dtype, name="net")(x, train)
 
@@ -246,7 +254,7 @@ def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
                 strides: Tuple[int, ...] = (8, 16, 32), deploy: bool = False,
                 quant: bool = False, calibrate: bool = False,
                 s2d_stem: bool = False, skip_stem: bool = False,
-                remat: bool = False,
+                skip_until: int = -1, remat: bool = False,
                 plain_rep: bool = False, dtype: Any = jnp.float32) -> MAFYolo:
     """Build a MAFYolo from a zoo name, a graph dict, or a reference-format yaml path."""
     if isinstance(graph, str):
@@ -260,4 +268,5 @@ def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
     return MAFYolo(specs=specs, save=save, out_frm=out_frm, nc=nc, reg_max=reg_max,
                    strides=strides, deploy=deploy, plain_rep=plain_rep,
                    quant=quant, calibrate=calibrate, s2d_stem=s2d_stem,
-                   skip_stem=skip_stem, remat=remat, dtype=dtype)
+                   skip_stem=skip_stem, skip_until=skip_until, remat=remat,
+                   dtype=dtype)

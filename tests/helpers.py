@@ -16,7 +16,7 @@ COLORS = [(40, 40, 220), (40, 220, 40), (220, 40, 40)]  # BGR per class
 
 
 def make_synth_dataset(root, n_images=16, img_size=320, max_objects=4, nc=3, seed=0,
-                       splits=("train", "val")):
+                       splits=("train", "val"), noise=0):
     """Create images/{split}, labels/{split} + dataset yaml. Returns yaml path."""
     rng = np.random.default_rng(seed)
     root = Path(root)
@@ -29,6 +29,12 @@ def make_synth_dataset(root, n_images=16, img_size=320, max_objects=4, nc=3, see
             h = int(rng.integers(img_size * 3 // 4, img_size * 5 // 4))
             w = int(rng.integers(img_size * 3 // 4, img_size * 5 // 4))
             img = rng.integers(90, 130, (h, w, 3)).astype(np.uint8)
+            if noise:
+                # per-pixel texture: spatially-varying features break the
+                # massive score ties flat images cause (equal-score anchors
+                # make NMS tie-breaking framework-dependent)
+                img = np.clip(img.astype(np.int16) + rng.integers(
+                    -noise, noise + 1, (h, w, 3)), 0, 255).astype(np.uint8)
             lines = []
             for _ in range(int(rng.integers(1, max_objects + 1))):
                 c = int(rng.integers(0, nc))
