@@ -146,6 +146,12 @@ def _l01_kernel(x_hbm, w0_ref, b0_ref, w1_ref, b1_ref, out_ref, scratch, sem,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, s2), 1)
     colmask = ((lane & (lp - 1)) < wb).astype(jnp.bfloat16)
+    # Out-of-image top halo: scratch rows 0-1 of the FIRST band are the zero
+    # pad rows prep_s2d prepended; relu(bias) computed there is NOT zero for
+    # nonzero folded biases and would leak into layer 1's dy=-1 taps. Zero
+    # those rows of y0 explicitly (bands > 0 hold real rows there).
+    in_image = jnp.logical_or(band > 0, lane >= 2 * lp)
+    mask0 = colmask * in_image.astype(jnp.bfloat16)
 
     def blocked_conv(x, w_ref, b_ref, mask):
         # dy=-1 shift (one grid row = LP lanes, 128-aligned) as slice+concat:
@@ -167,7 +173,7 @@ def _l01_kernel(x_hbm, w0_ref, b0_ref, w1_ref, b1_ref, out_ref, scratch, sem,
         # pad lanes would leak into the next stage's dx-rolls
         return y * mask if mask is not None else y
 
-    y0 = blocked_conv(planes, w0_ref, b0_ref, colmask)       # [4*C0, S2]
+    y0 = blocked_conv(planes, w0_ref, b0_ref, mask0)         # [4*C0, S2]
     y1 = blocked_conv(y0, w1_ref, b1_ref, None)              # [C1, S2]
     out_ref[0] = y1[:, 2 * lp:]
 

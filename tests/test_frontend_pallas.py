@@ -67,6 +67,40 @@ def test_frontend_matches_xla(folded_n, hw):
     assert err.mean() < 0.01
 
 
+def test_frontend_nonzero_bias(folded_n):
+    """Out-of-image halo rows must act as conv zero-padding even when folded
+    biases are nonzero. Fresh-init folds give exactly-zero biases (BN fold of
+    zero-mean stats), which masked a relu(bias) top-halo leak into layer 1's
+    dy=-1 taps."""
+    from mafyolo_tpu.ops.frontend_pallas import (
+        build_frontend_weights, frontend_params_from_folded, frontend_l01,
+        lanepad_for, prep_s2d, unpack_nhwc)
+    model, folded = folded_n
+    rng = np.random.default_rng(7)
+    folded = jax.tree.map(lambda x: x, folded)  # shallow-copy the pytree
+    for layer in ("layer0", "layer1"):
+        conv = folded["params"]["net"][layer]["fused"]["conv"]
+        conv["bias"] = jnp.asarray(
+            rng.uniform(0.2, 1.0, conv["bias"].shape), jnp.float32)
+    # 256 rows -> multiple grid bands: checks both the band-0 halo masking
+    # and that real rows in later bands' halo slots are NOT masked
+    h, w = 256, 64
+    imgs = jnp.asarray(rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8))
+
+    want = _xla_l01(folded, imgs, jnp.float32)
+
+    k0, b0, k1, b1 = frontend_params_from_folded(folded)
+    wts = build_frontend_weights(k0, b0, k1, b1)
+    lp = lanepad_for(w)
+    y = frontend_l01(prep_s2d(imgs, lp), wts["w0"], wts["b0"], wts["w1"],
+                     wts["b1"], c0=wts["c0"], c1=wts["c1"], hb=h // 4,
+                     wb=w // 4, lp=lp, interpret=True)
+    got = unpack_nhwc(y, h // 4, w // 4)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
 def test_frontend_apply_full_graph(folded_n):
     """frontend_apply == full deploy model forward (same uint8 batch)."""
     from mafyolo_tpu.ops.frontend_pallas import (frontend_apply,
