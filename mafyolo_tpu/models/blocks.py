@@ -568,7 +568,12 @@ class Head_DepthUni(nn.Module):
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.constant(-math.log((1 - prior) / prior)),
                           dtype=self.dtype, param_dtype=jnp.float32, name="cls_pred")(cls_f)
-        cls_out = nn.sigmoid(cls_out.astype(jnp.float32))
+        # training: f32 sigmoid (the VFL loss matches the reference in fp32,
+        # loss.py:196-206); deploy: model dtype -- the eval selection sorts
+        # run on these scores and bf16 halves their traffic (sigmoid is
+        # monotone under rounding)
+        out_dt = self.dtype if self.deploy else jnp.float32
+        cls_out = nn.sigmoid(cls_out.astype(out_dt))
         reg_f = UniRepLKNetBlock(self.cout, self.kersize, deploy=self.deploy, quant=self.quant, calibrate=self.calibrate,
                                  dtype=self.dtype, name="reg_dw")(x, train)
         reg_f = cv(self.cout, 1, act="silu", dtype=self.dtype, name="reg_proj")(reg_f, train)
@@ -576,7 +581,7 @@ class Head_DepthUni(nn.Module):
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.constant(1.0),
                           dtype=self.dtype, param_dtype=jnp.float32, name="reg_pred")(reg_f)
-        return x, cls_out, reg_out.astype(jnp.float32)
+        return x, cls_out, reg_out.astype(out_dt)
 
 
 class S2DStem(nn.Module):

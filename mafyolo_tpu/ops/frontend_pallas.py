@@ -85,6 +85,10 @@ class FrontendCfg:
         return self.depth
 
     @property
+    def cp(self) -> int:       # sublane-tile-aligned split width (weights
+        return _round_up(self.c_, 16)  # are zero-padded c_ -> cp at build)
+
+    @property
     def top(self) -> int:      # zero rows the host pack prepends
         return self.halo + 2
 
@@ -218,30 +222,45 @@ def frontend_build(specs, variables, h: int, w: int,
         mid = int(c_ * kw["depth_expansion"])
         l2 = p["layer2"]
         # The CSP split (x[..., :c_], x[..., c_:]) and the (depth+2)-way
-        # concat feeding cv_out are resolved HERE as row/column blocks of the
-        # 1x1 weights: c_ is not a bf16 sublane-tile multiple, so in-kernel
-        # channel slicing/concat would be Mosaic-hostile. cv_in becomes two
-        # half dots; cv_out becomes a sum of per-part partial dots.
+        # concat feeding cv_out are resolved HERE as row/column blocks of
+        # the 1x1 weights: c_ is not a bf16 sublane-tile multiple, so
+        # in-kernel channel slicing/concat would be Mosaic-hostile -- and
+        # every (M<=128, K<=128) MXU dot costs one full pass over the lanes
+        # regardless of channel count, so dots are PACKED: cv_in is ONE dot
+        # with the b half FIRST (the bottleneck chain reads rows [0:c_), an
+        # offset-0 slice); cv_out is one dot over x2 (both halves, columns
+        # reordered to match) plus one per-y partial dot.
+        cp = _round_up(c_, 16)     # bf16 sublane-tile-aligned split width
         win = _dot_w(l2["cv_in"]["conv"]["kernel"])          # [2c_, c1]
         bin_ = np.asarray(l2["cv_in"]["conv"]["bias"], np.float32)
-        wts += [jnp.asarray(win[:c_], jnp.bfloat16), _bias(bin_[:c_]),
-                jnp.asarray(win[c_:], jnp.bfloat16), _bias(bin_[c_:])]
+        winp = np.zeros((2 * cp, win.shape[1]), np.float32)
+        binp = np.zeros(2 * cp, np.float32)
+        winp[:c_], winp[cp:cp + c_] = win[c_:], win[:c_]     # b half FIRST
+        binp[:c_], binp[cp:cp + c_] = bin_[c_:], bin_[:c_]
+        wts += [jnp.asarray(winp, jnp.bfloat16), _bias(binp)]
         for i in range(depth):
             m = l2[f"m{i}"]
             kdw = np.asarray(m["dw"]["fused"]["conv"]["kernel"],
                              np.float32)           # [3,3,1,mid]
-            wts += [jnp.asarray(_dot_w(m["expand"]["conv"]["kernel"]),
-                                jnp.bfloat16),
+            wexp = np.zeros((mid, cp), np.float32)           # cp-padded cols
+            wexp[:, :c_] = _dot_w(m["expand"]["conv"]["kernel"])
+            wproj = np.zeros((cp, mid), np.float32)          # cp-padded rows
+            wproj[:c_] = _dot_w(m["project"]["conv"]["kernel"])
+            bproj = np.zeros(cp, np.float32)
+            bproj[:c_] = np.asarray(m["project"]["conv"]["bias"], np.float32)
+            wts += [jnp.asarray(wexp, jnp.bfloat16),
                     _bias(m["expand"]["conv"]["bias"]),
                     jnp.asarray(kdw[:, :, 0].reshape(9, mid, 1)),  # f32
                     _bias(m["dw"]["fused"]["conv"]["bias"]),
-                    jnp.asarray(_dot_w(m["project"]["conv"]["kernel"]),
-                                jnp.bfloat16),
-                    _bias(m["project"]["conv"]["bias"])]
+                    jnp.asarray(wproj, jnp.bfloat16), _bias(bproj)]
         wout = _dot_w(l2["cv_out"]["conv"]["kernel"])        # [c2, (2+d)c_]
-        for i in range(depth + 2):
-            wts.append(jnp.asarray(wout[:, i * c_:(i + 1) * c_],
-                                   jnp.bfloat16))
+        woutp = np.zeros((c2, 2 * cp), np.float32)
+        woutp[:, :c_], woutp[:, cp:cp + c_] = wout[:, c_:2 * c_], wout[:, :c_]
+        wts.append(jnp.asarray(woutp, jnp.bfloat16))
+        for i in range(depth):
+            wy = np.zeros((c2, cp), np.float32)
+            wy[:, :c_] = wout[:, (2 + i) * c_:(3 + i) * c_]
+            wts.append(jnp.asarray(wy, jnp.bfloat16))
         wts.append(_bias(l2["cv_out"]["conv"]["bias"]))
     cfg = FrontendCfg(c0=c0, c1=c1, hb=h // 4, wb=w // 4, lp=lanepad_for(w),
                       depth=depth, c_=c_, mid=mid, c2=c2)
@@ -332,18 +351,20 @@ def _kernel(x_hbm, riota, *refs, out_ref=None, scratch=None, sem=None,
                     acc += wdw_ref[3 * (u + 1) + (v + 1)] * t.astype(f32)
             return jax.nn.silu(acc).astype(bf16)
 
-        win_a, bin_a, win_b, bin_b = rest[0:4]
-        outs = [dot(win_a, bin_a, y), dot(win_b, bin_b, y)]  # [c_, S2] each
+        win, bin_ = rest[0:2]
+        x2 = dot(win, bin_, y)            # [2c_, S2] silu, b half FIRST
+        ys = []
         for i in range(cfg.depth):
-            wexp, bexp, wdw, bdw, wproj, bproj = rest[4 + 6 * i:10 + 6 * i]
-            t = dot(wexp, bexp, outs[-1])                   # [mid, S2] silu
+            wexp, bexp, wdw, bdw, wproj, bproj = rest[2 + 6 * i:8 + 6 * i]
+            src = ys[-1] if ys else x2[:cfg.cp]   # offset-0 slice = b half
+            t = dot(wexp, bexp, src)                        # [mid, S2] silu
             t = t * inimg              # DW zero padding at image boundary
             t = dw3x3(t, wdw, bdw)                          # [mid, S2] silu
-            outs.append(dot(wproj, bproj, t))               # [c_, S2] silu
-        # cv_out over the CSP concat = sum of per-part partial dots
-        wouts = rest[4 + 6 * cfg.depth:-1]
-        acc = rest[-1][...] * jnp.ones((cfg.c2, s2), f32)
-        for w_ref, part in zip(wouts, outs):
+            ys.append(dot(wproj, bproj, t))                 # [c_, S2] silu
+        # cv_out over the CSP concat = x2 full dot + per-y partial dots
+        wouts = rest[2 + 6 * cfg.depth:-1]
+        acc = rest[-1][...] + rawdot(wouts[0], x2)
+        for w_ref, part in zip(wouts[1:], ys):
             acc += rawdot(w_ref, part)
         y = jax.nn.silu(acc).astype(bf16)                   # [C2, S2]
 

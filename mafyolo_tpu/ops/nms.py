@@ -115,7 +115,7 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
                      iou_thres: float = 0.65, max_det: int = 300,
                      pre_nms_topk: int = 2000, multi_label: bool = True,
                      agnostic: bool = False, max_labels_per_anchor: int = 8,
-                     compact_k: int = 1024):
+                     compact_k: int = 512):
     """Head outputs -> NMS results without materializing the [B, A, 5+nc]
     decode tensor (the fusion of yolo.py:355-396 decode + nms.py:31-105).
 
@@ -161,28 +161,44 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
         return jnp.concatenate([x1y1, x2y2], -1)
 
     def fast_single(cls, reg):
-        """Threshold-compaction selection for one image."""
+        """Two-level threshold-compaction selection for one image.
+
+        Level 1 compacts ANCHORS whose class-max clears the threshold (a
+        [A] mask, 64x smaller than the [A*nc] pair mask); level 2 compacts
+        the (anchor, class) pairs of the <= kp survivor rows (a [kp*nc]
+        mask). Exact: an above-threshold pair implies its anchor's max is
+        above threshold, so level 1 loses nothing while counts fit.
+        Selection runs in the head's output dtype (bf16 in TPU deploy --
+        sigmoid outputs, so sort order is rounding-monotone and the sort
+        traffic halves; f32 on CPU/parity paths).
+        """
         zero = jnp.zeros((), cls.dtype)
+        amx = cls.max(-1)                                    # [A]
+        aidx, acount = compact_mask_indices(amx > conf_thres, kp)
+        aslot = jnp.arange(kp, dtype=jnp.int32)
+        rows = jnp.where((aslot < acount)[:, None], cls[aidx], zero)
         if not multi_label:
-            best = cls.max(-1, keepdims=True)
-            cls = jnp.where(cls == best, cls, zero)
-        flat = cls.reshape(-1)
+            best = rows.max(-1, keepdims=True)
+            rows = jnp.where(rows == best, rows, zero)
+        flat = rows.reshape(-1)                              # [kp*nc]
         pidx, count = compact_mask_indices(flat > conf_thres, kp)
-        slot = jnp.arange(kp, dtype=jnp.int32)
-        valid = slot < count
+        valid = jnp.arange(kp, dtype=jnp.int32) < count
         sc = jnp.where(valid, flat[pidx], zero)
         # sort survivors by score desc (tiny: kp elements, not A*nc)
         sc_sorted, order = lax.top_k(sc, kp)
         pidx = pidx[order]
-        row_idx = pidx // nc
+        row_idx = aidx[pidx // nc]                           # anchor index
         cls_idx = (pidx % nc).astype(jnp.int32)
         cand_boxes = decode_boxes(reg[row_idx], row_idx)
         off = cand_boxes if agnostic else (
             cand_boxes + cls_idx[:, None].astype(cand_boxes.dtype) * MAX_WH)
+        # kp <= block -> the single-block greedy path: one [kp, kp] IoU +
+        # fixpoint, no scan of per-block sorts
         b, s, c, v = _blocked_greedy_select(
             cand_boxes, off, sc_sorted.astype(jnp.float32), cls_idx,
-            iou_thres, max_det)
-        return dict(boxes=b, scores=s, classes=c, valid=v), count
+            iou_thres, max_det, block=max(512, kp))
+        return dict(boxes=b, scores=s, classes=c, valid=v), \
+            jnp.maximum(acount, count)
 
     def single(cls, reg):
         # obj==1 in the DFL head => conf = cls score (yolo.py:390). Scores
