@@ -62,9 +62,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def lanepad_for(w: int) -> int:
-    """Lane stride per feature row for blocked width Wb = w//4 (>=128,
-    128-aligned so row shifts and DMA offsets stay vreg-aligned)."""
-    return max(128, _round_up(w // 4, 128))
+    """Lane stride per feature row for blocked width Wb = w//4.
+
+    Exactly Wb when sublane-aligned: every kernel op streams the flat lane
+    dim, so pad lanes are pure waste (at 640px, LP=256 vs 160 made the
+    whole kernel 1.6x more expensive). Row shifts are slice+concat at
+    arbitrary offsets (Mosaic relayouts them); _pick_rows keeps band DMA
+    offsets 128-lane-aligned."""
+    wb = w // 4
+    return wb if wb % 8 == 0 else _round_up(wb, 8)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +103,13 @@ class FrontendCfg:
         return self.hb + self.top + self.halo
 
     @property
+    def flat_len(self) -> int:
+        # HBM DMA slice sizes must be 128-lane-aligned: bands over-read up
+        # to 127 tail lanes (masked garbage), so the packed buffer carries
+        # one extra aligned chunk beyond the last band's window.
+        return _round_up(self.rows_total * self.lp, 128) + 128
+
+    @property
     def cout(self) -> int:
         return self.c2 if self.depth else self.c1
 
@@ -117,9 +130,11 @@ def pack_s2d_np(imgs_u8: np.ndarray, cfg: FrontendCfg) -> np.ndarray:
     x = np.ascontiguousarray(
         imgs_u8.reshape(b, hb, 4, wb, 4, 3).transpose(0, 2, 4, 5, 1, 3)
     ).reshape(b, 48, hb, wb)
-    out = np.zeros((b, 48, cfg.rows_total, lp), np.uint8)
-    out[:, :, cfg.top:cfg.top + hb, :wb] = x
-    return out.reshape(b, 48, cfg.rows_total * lp)
+    arr = np.zeros((b, 48, cfg.rows_total, lp), np.uint8)
+    arr[:, :, cfg.top:cfg.top + hb, :wb] = x
+    return np.pad(arr.reshape(b, 48, -1),
+                  ((0, 0), (0, 0),
+                   (0, cfg.flat_len - cfg.rows_total * lp)))
 
 
 def pack_s2d(imgs_u8, cfg: FrontendCfg):
@@ -130,7 +145,9 @@ def pack_s2d(imgs_u8, cfg: FrontendCfg):
     x = imgs_u8.reshape(b, hb, 4, wb, 4, 3)
     x = x.transpose(0, 2, 4, 5, 1, 3).reshape(b, 48, hb, wb)
     x = jnp.pad(x, ((0, 0), (0, 0), (cfg.top, cfg.halo), (0, lp - wb)))
-    return x.reshape(b, 48, cfg.rows_total * lp)
+    x = x.reshape(b, 48, cfg.rows_total * lp)
+    return jnp.pad(x, ((0, 0), (0, 0),
+                       (0, cfg.flat_len - cfg.rows_total * lp)))
 
 
 # ---------------------------------------------------------------------------
@@ -281,7 +298,7 @@ def _kernel(x_hbm, riota, *refs, out_ref=None, scratch=None, sem=None,
     lp, wb = cfg.lp, cfg.wb
     halo, top = cfg.halo, cfg.top
     band_rows = rows + 2 * halo + 2
-    s2 = band_rows * lp
+    s2 = _round_up(band_rows * lp, 128)   # DMA slices are 128-lane-aligned
 
     dma = pltpu.make_async_copy(
         x_hbm.at[bi, :, pl.ds(band * rows * lp, s2)], scratch, sem)
@@ -410,11 +427,13 @@ def frontend_forward(xp, weights, cfg: FrontendCfg, interpret: bool = False):
     b = xp.shape[0]
     rows = _pick_rows(cfg)
     band_rows = rows + 2 * cfg.halo + 2
+    s2 = _round_up(band_rows * cfg.lp, 128)
+    nfull = s2 // cfg.lp + 1
 
-    riota = (jnp.repeat(jnp.arange(band_rows, dtype=jnp.int32),
-                        cfg.lp)[None],
+    riota = (jnp.repeat(jnp.arange(nfull, dtype=jnp.int32),
+                        cfg.lp)[None, :s2],
              jnp.tile(jnp.arange(cfg.lp, dtype=jnp.int32),
-                      band_rows)[None])
+                      nfull)[None, :s2])
 
     kern = partial(_kernel, cfg=cfg, rows=rows)
 
@@ -435,7 +454,7 @@ def frontend_forward(xp, weights, cfg: FrontendCfg, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((b, cfg.hb * cfg.lp, cfg.cout),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((48, band_rows * cfg.lp), jnp.uint8),
+            pltpu.VMEM((48, s2), jnp.uint8),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
