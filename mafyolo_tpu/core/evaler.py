@@ -85,19 +85,22 @@ class Evaler:
         """
         dtype = jnp.bfloat16 if self.half else jnp.float32
         use_s2d = s2d_stem and not folded
-        # The Pallas stem kernel (ops/stem_pallas.py) wins standalone but the
-        # pallas_call boundary blocks XLA's norm+stem+layer1 fusion and loses
-        # in-graph (docs/STATUS.md round-2 measurements) -- machinery kept,
-        # default off.
-        from mafyolo_tpu.ops.stem_pallas import (pallas_stem_apply,
-                                                 stem_supported)
         specs = build_model(graph, nc=nc).specs
-        use_pallas_stem = bool(int(__import__("os").environ.get(
-            "MAFYOLO_PALLAS_STEM", "0"))) and \
-            jax.default_backend() != "cpu" and not use_s2d \
-            and stem_supported(specs)
+        # Fused Pallas front-end (layers 0-2 in one kernel,
+        # ops/frontend_pallas.py) -- ON by default on accelerators; the
+        # device-side s2d pack costs ~1.7 ms/batch32 but the kernel replaces
+        # ~7.9 ms of XLA front-end convs. MAFYOLO_FRONTEND=0 disables.
+        from mafyolo_tpu.ops import frontend_pallas as FE
+        fe_skip = -1
+        if (jax.default_backend() != "cpu" and not use_s2d
+                and bool(int(__import__("os").environ.get(
+                    "MAFYOLO_FRONTEND", "1")))):
+            m0 = build_model(graph, nc=nc)
+            fe_skip = FE.frontend_skip_until(m0.specs, m0.save)
         model = build_model(graph, nc=nc, deploy=True, s2d_stem=use_s2d,
-                            skip_stem=use_pallas_stem, dtype=dtype)
+                            skip_until=fe_skip, dtype=dtype)
+        full_model = model if fe_skip < 0 else build_model(
+            graph, nc=nc, deploy=True, s2d_stem=use_s2d, dtype=dtype)
         if not folded:
             variables = fold_variables(specs, variables, s2d_stem=use_s2d)
         self.model = model
@@ -106,14 +109,20 @@ class Evaler:
 
         @jax.jit
         def predict(imgs_u8):
-            if use_pallas_stem:
-                outs = pallas_stem_apply(model, self.variables, imgs_u8, dtype)
+            h, w = imgs_u8.shape[1:3]
+            if fe_skip >= 0 and h % 4 == 0 and w % 4 == 0:
+                cfg, wts = FE.frontend_build(specs, self.variables, h, w,
+                                             fuse_l2=fe_skip >= 2)
+                xp = FE.pack_s2d(imgs_u8, cfg)
+                outs = FE.frontend_apply_packed(model, xp, tuple(wts), cfg,
+                                                variables=self.variables)
             else:
                 x = imgs_u8[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
-                outs = model.apply(self.variables, x, train=False)
-            # fused decode+NMS: top-M anchor prefilter on the raw score maps,
-            # DFL decode only on survivors (ops/nms.fused_decode_nms; exactness
-            # vs decode_eval+batched_nms tested in tests/test_nms.py)
+                outs = full_model.apply(self.variables, x, train=False)
+            # fused decode+NMS: threshold-compaction selection on the raw
+            # score maps, DFL decode only on survivors (ops/nms.
+            # fused_decode_nms; exactness vs decode_eval+batched_nms tested
+            # in tests/test_nms.py)
             return fused_decode_nms(
                 outs, strides=model.strides, reg_max=model.reg_max,
                 conf_thres=self.conf_thres, iou_thres=self.iou_thres,
