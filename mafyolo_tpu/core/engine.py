@@ -92,7 +92,12 @@ class Trainer:
                 # in-batch device mosaic (data/device_aug.py): the host only
                 # decodes+letterboxes one image per sample (measured 205 img/s
                 # vs 40 img/s for the full host pipeline on a 1-core host)
-                mosaic=float(hyp.get("mosaic", 0.0)))
+                mosaic=float(hyp.get("mosaic", 0.0)),
+                # cached-mosaic mixup + dynamic mixup (reference
+                # datasets.py:166-178), blended with another sample's mosaic
+                mixup=float(hyp.get("mixup", 0.0)),
+                dy_label=int(hyp.get("dy_label", 5)),
+                dy_mixup=float(hyp.get("dy_mixup", 0.0)))
             host_augment = False
         self.train_loader, self.train_dataset = create_dataloader(
             data_dict["train"], self.img_size, self.batch_size, stride=32, hyp=hyp,

@@ -330,10 +330,12 @@ def _compact_labels(lbl, n_out: int):
 
 @partial(jax.jit, static_argnames=("degrees", "translate", "scale", "shear",
                                    "hsv_h", "hsv_s", "hsv_v", "fliplr",
-                                   "flipud", "mosaic"))
+                                   "flipud", "mosaic", "mixup", "dy_label",
+                                   "dy_mixup"))
 def device_augment(imgs_u8, labels, key, *, degrees=0.0, translate=0.1,
                    scale=0.5, shear=0.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
-                   fliplr=0.5, flipud=0.0, mosaic=0.0):
+                   fliplr=0.5, flipud=0.0, mosaic=0.0, mixup=0.0,
+                   dy_label=5, dy_mixup=0.0):
     """[B,H,W,3] uint8 BGR + [B,N,5] labels + key -> augmented (float RGB, labels).
 
     One independent key per sample; returns imgs in [0,1] RGB float32.
@@ -344,6 +346,18 @@ def device_augment(imgs_u8, labels, key, *, degrees=0.0, translate=0.1,
     mosaic+random_affine chain (data_augment.py:190-254). Non-mosaic samples
     skip the affine, mirroring the reference's else-branch (datasets.py
     __getitem__: letterbox + general_augment only).
+
+    mixup/dy_mixup reproduce the reference's cached-mosaic mixup chain
+    (datasets.py:166-178): for mosaic'd samples, with p=mixup -- or, when the
+    sample has <= dy_label boxes, with p=dy_mixup (the dynamic-mixup arm) --
+    the image is beta(32,32)-blended with ANOTHER sample's mosaic output
+    (the in-batch stand-in for get_cache_mosaic of a random dataset index)
+    and the label sets are concatenated (data_augment.py:85-100). HSV/flips
+    run after, matching the reference's general_augment ordering.
+
+    copy_paste is intentionally host-only: it needs per-instance polygon
+    segments (ragged), which the fixed-shape device path does not carry
+    (documented in docs/COMPONENTS.md).
     """
     b, h, w, _ = imgs_u8.shape
     n = labels.shape[1]
@@ -354,10 +368,16 @@ def device_augment(imgs_u8, labels, key, *, degrees=0.0, translate=0.1,
     # per-pixel gather warp)
     separable = (degrees == 0.0 and shear == 0.0)
 
-    def one(i, k):
-        ka, kh, kf1, kf2, km, kd, kb = jax.random.split(k, 7)
+    def phase_geom(i, k):
+        """Mosaic(+affine) / affine for one sample. Returns the selected
+        (img, lbl) plus the unconditional mosaic output (mixup partners use
+        a partner's MOSAIC regardless of the partner's own gate, like the
+        reference's get_cache_mosaic partner)."""
+        ka, _, _, _, km, kd, kb, _, _ = jax.random.split(k, 9)
         img = imgs_f[i]
         lbl = labels[i]
+        do_mo = jnp.bool_(False)
+        mo_img, mo_lbl = img, lbl
         if mosaic:
             s = h
             donors = jax.random.randint(kd, (3,), 0, b)
@@ -377,11 +397,12 @@ def device_augment(imgs_u8, labels, key, *, degrees=0.0, translate=0.1,
             else:
                 mo_img = _warp_mosaic_bilinear(quad, m_inv, xc, yc, s, s,
                                                114.0 / 255.0)
+            mo_img = mo_img.astype(img.dtype)
             cls4, xyxy4 = _mosaic_labels_canvas(lbl4, xc, yc, s)
             mo_lbl = _compact_labels(
                 _affine_label_corners(cls4, xyxy4, m, sg, s, s), n)
             do_mo = jax.random.uniform(kb) < mosaic
-            img = jnp.where(do_mo, mo_img.astype(img.dtype), img)
+            img = jnp.where(do_mo, mo_img, img)
             lbl = jnp.where(do_mo, mo_lbl, lbl)
         elif degrees or translate or scale or shear:
             m, sg = _affine_matrix(ka, h, w, degrees, translate, scale, shear)
@@ -391,6 +412,10 @@ def device_augment(imgs_u8, labels, key, *, degrees=0.0, translate=0.1,
             else:
                 img = _warp_bilinear(img, m_inv, h, w, 114.0 / 255.0)
             lbl = _transform_labels(lbl, m, sg, h, w)
+        return img, lbl, mo_img, mo_lbl, do_mo
+
+    def phase_color(img, lbl, k):
+        _, kh, kf1, kf2, _, _, _, _, _ = jax.random.split(k, 9)
         if hsv_h or hsv_s or hsv_v:   # static: reference skips when all gains 0
             img = hsv_jitter(img, kh, hsv_h, hsv_s, hsv_v)
         do_lr = jax.random.uniform(kf1) < fliplr
@@ -404,4 +429,25 @@ def device_augment(imgs_u8, labels, key, *, degrees=0.0, translate=0.1,
         lbl = jnp.concatenate([lbl[:, 0:1], lbl_x, lbl_y, lbl[:, 3:]], -1)
         return img, lbl
 
-    return jax.vmap(one)(jnp.arange(b), keys)
+    img1, lbl1, mo_img, mo_lbl, do_mo = jax.vmap(phase_geom)(
+        jnp.arange(b), keys)
+
+    if mosaic and (mixup or dy_mixup):
+        def phase_mix(i, k):
+            _, _, _, _, _, _, _, kp, kr = jax.random.split(k, 9)
+            kp1, kp2, kp3 = jax.random.split(kp, 3)
+            partner = jax.random.randint(kp1, (), 0, b)
+            u_mix = jax.random.uniform(kp2) < mixup
+            n_valid = jnp.sum(lbl1[i, :, 0] >= 0)
+            u_dy = jax.random.uniform(kp3) < dy_mixup
+            do = do_mo[i] & (u_mix | ((n_valid <= dy_label) & u_dy))
+            r = jax.random.beta(kr, 32.0, 32.0)
+            img = jnp.where(do, img1[i] * r + mo_img[partner] * (1.0 - r),
+                            img1[i])
+            both = _compact_labels(
+                jnp.concatenate([lbl1[i], mo_lbl[partner]], 0), n)
+            lbl = jnp.where(do, both, lbl1[i])
+            return img, lbl
+        img1, lbl1 = jax.vmap(phase_mix)(jnp.arange(b), keys)
+
+    return jax.vmap(phase_color)(img1, lbl1, keys)

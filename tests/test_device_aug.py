@@ -160,3 +160,77 @@ def test_mosaic_canvas_matches_gather(rng):
                                         m_inv, s, s, 0.447)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-2, atol=1e-2)  # bf16 canvas
+
+
+def test_device_mixup_blends_and_unions_labels(rng):
+    """mosaic=1, mixup=1: every sample is a beta(32,32) blend of its own
+    mosaic with a partner's mosaic -- pixels become strict convex combos,
+    and the label buffer carries boxes from both sets. Reference semantics:
+    datasets.py:166-171 + data_augment.py mixup (beta 32,32, label concat)."""
+    b, h = 4, 64
+    imgs = np.zeros((b, h, h, 3), np.uint8)
+    for i in range(b):
+        imgs[i] = (i + 1) * 50
+    labels = np.zeros((b, 16, 5), np.float32)
+    labels[:, :, 0] = -1
+    for i in range(b):
+        labels[i, 0] = [i, 0.5, 0.5, 0.5, 0.5]
+    imgs, labels = jnp.asarray(imgs), jnp.asarray(labels)
+
+    kw = dict(degrees=0.0, translate=0.0, scale=0.0, shear=0.0, hsv_h=0.0,
+              hsv_s=0.0, hsv_v=0.0, fliplr=0.0, flipud=0.0, mosaic=1.0)
+    base = device_augment(imgs, labels, jax.random.PRNGKey(5), **kw)
+    mixed = device_augment(imgs, labels, jax.random.PRNGKey(5), **kw,
+                           mixup=1.0)
+    bi, bl = np.asarray(base[0]), np.asarray(base[1])
+    mi, ml = np.asarray(mixed[0]), np.asarray(mixed[1])
+    assert mi.shape == bi.shape and ml.shape == bl.shape
+    # same geometry keys -> the mixed image must differ from the unmixed one
+    # (a blend with a different-colored partner) but stay within the batch's
+    # value range
+    assert np.abs(mi - bi).max() > 1e-3
+    assert mi.min() >= 0.0 and mi.max() <= 1.0
+    # label union: at least one sample must carry more valid boxes than its
+    # unmixed counterpart
+    nb = (bl[:, :, 0] >= 0).sum(1)
+    nm = (ml[:, :, 0] >= 0).sum(1)
+    assert (nm >= nb).all() and (nm > nb).any()
+    # reproducibility
+    again = device_augment(imgs, labels, jax.random.PRNGKey(5), **kw,
+                           mixup=1.0)
+    np.testing.assert_array_equal(mi, np.asarray(again[0]))
+
+
+def test_device_dy_mixup_gates_on_box_count(rng):
+    """dy_mixup only fires for samples with <= dy_label post-mosaic boxes
+    (the dynamic arm, datasets.py:172-178)."""
+    b, h, n = 2, 64, 128
+    kw = dict(degrees=0.0, translate=0.0, scale=0.0, shear=0.0, hsv_h=0.0,
+              hsv_s=0.0, hsv_v=0.0, fliplr=0.0, flipud=0.0, mosaic=1.0)
+
+    def run(n_boxes, dy_mixup):
+        imgs = np.zeros((b, h, h, 3), np.uint8)
+        imgs[0], imgs[1] = 60, 200
+        labels = np.full((b, n, 5), -1, np.float32)
+        for i in range(b):    # boxes spread over the whole image so mosaic
+            for j in range(n_boxes):   # tiles keep (most of) them
+                labels[i, j] = [i, (j % 5) * 0.19 + 0.06,
+                                (j // 5 % 5) * 0.19 + 0.06, 0.05, 0.05]
+        out = device_augment(jnp.asarray(imgs), jnp.asarray(labels),
+                             jax.random.PRNGKey(9), **kw, dy_label=5,
+                             dy_mixup=dy_mixup)
+        return np.asarray(out[0]), np.asarray(out[1])
+
+    # all-crowded batch: every post-mosaic sample has > dy_label boxes ->
+    # the dynamic arm never fires -> identical to dy_mixup=0
+    crowd_base_i, crowd_base_l = run(25, 0.0)
+    crowd_dyn_i, crowd_dyn_l = run(25, 1.0)
+    assert (crowd_base_l[:, :, 0] >= 0).sum() > 2 * 5   # gate really above
+    np.testing.assert_array_equal(crowd_base_i, crowd_dyn_i)
+    np.testing.assert_array_equal(crowd_base_l, crowd_dyn_l)
+
+    # all-sparse batch (1 box each, <= 4 post-mosaic): the arm fires and
+    # blends at least one sample
+    sparse_base_i, _ = run(1, 0.0)
+    sparse_dyn_i, _ = run(1, 1.0)
+    assert np.abs(sparse_dyn_i - sparse_base_i).max() > 1e-3
