@@ -49,8 +49,14 @@ class Trainer:
             raise ValueError(
                 "device count must divide the global batch size")
 
-        self.graph = getattr(cfg.model, "graph", None) or cfg.model.get(
-            "yaml_file", "maf-yolo-n")
+        if cfg.model.get("build_type", "yaml") != "yaml":
+            # legacy office path: EfficientRep+RepPANNeck+effidehead emitted
+            # as a graph spec (models/office.py; reference yolo.py:166-172)
+            from mafyolo_tpu.models.office import office_graph
+            self.graph = office_graph(cfg.model)
+        else:
+            self.graph = getattr(cfg.model, "graph", None) or cfg.model.get(
+                "yaml_file", "maf-yolo-n")
         dtype = jnp.bfloat16 if getattr(args, "bf16", True) and \
             jax.default_backend() != "cpu" else jnp.float32
         # cfg.training_mode == 'repopt' trains the plain (RealVGG) graph under

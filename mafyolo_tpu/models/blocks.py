@@ -675,3 +675,124 @@ class Concat(nn.Module):
     def __call__(self, xs, train: bool = False):
         del train
         return jnp.concatenate(list(xs), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Legacy "office" path blocks (EfficientRep / RepPANNeck / effidehead) --
+# the reference's non-yaml build_network dispatch (yolo.py:166-172, 225-275).
+# ---------------------------------------------------------------------------
+
+class RepBlock(nn.Module):
+    """Chain of n RepVGGBlocks (common.py:374-401, block=RepVGGBlock)."""
+    cin: int
+    cout: int
+    n: int = 1
+    deploy: bool = False
+    plain: bool = False
+    quant: bool = False
+    calibrate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = RepVGGBlock(self.cin, self.cout, deploy=self.deploy,
+                        plain=self.plain, quant=self.quant,
+                        calibrate=self.calibrate, dtype=self.dtype,
+                        name="conv1")(x, train)
+        for i in range(self.n - 1):
+            x = RepVGGBlock(self.cout, self.cout, deploy=self.deploy,
+                            plain=self.plain, quant=self.quant,
+                            calibrate=self.calibrate, dtype=self.dtype,
+                            name=f"block{i}")(x, train)
+        return x
+
+
+class SimSPPF(nn.Module):
+    """SPPF with ReLU/SimConv cells (common.py:96-112)."""
+    cin: int
+    cout: int
+    k: int = 5
+    deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.cin // 2
+        cv = _convish(self.deploy, self.quant, self.calibrate)
+        x = cv(c_, 1, act="relu", dtype=self.dtype, name="cv1")(x, train)
+        y1 = max_pool_same(x, self.k)
+        y2 = max_pool_same(y1, self.k)
+        y3 = max_pool_same(y2, self.k)
+        y = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        return cv(self.cout, 1, act="relu", dtype=self.dtype,
+                  name="cv2")(y, train)
+
+
+class TransposeUp(nn.Module):
+    """2x ConvTranspose upsample with bias (common.py:132-145).
+
+    k==stride==2 means output blocks never overlap, so ConvTranspose2d
+    reduces exactly to a per-pixel matmul + block reshape:
+    out[2y+u, 2x+v, o] = sum_i x[y, x, i] * W[u, v, i, o] + b[o] --
+    one MXU einsum instead of a transposed-conv lowering.
+    """
+    cin: int
+    cout: int
+    deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (2, 2, self.cin, self.cout), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.cout,),
+                          jnp.float32)
+        b, h, w, _ = x.shape
+        y = jnp.einsum("bhwi,uvio->bhuwvo", x.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        return y.reshape(b, 2 * h, 2 * w, self.cout) + bias.astype(self.dtype)
+
+
+class Head_Effide(nn.Module):
+    """One level of the Efficient Decoupled Head (effidehead.py:75-134):
+    1x1 stem -> {3x3 cls_conv -> 1x1 cls_pred(sigmoid), 3x3 reg_conv ->
+    1x1 reg_pred}; prior-prob/one bias init with zero pred weights
+    (effidehead.py:53-73). Returns (stem_feat, cls, reg) like Head_DepthUni.
+    """
+    cin: int
+    reg_max: int = 16
+    nc: int = 80
+    num_anchors: int = 1
+    deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cv = _convish(self.deploy, self.quant, self.calibrate)
+        prior = 1e-2
+        x = cv(self.cin, 1, act="silu", dtype=self.dtype, name="stem")(x, train)
+        cls_f = cv(self.cin, 3, act="silu", dtype=self.dtype,
+                   name="cls_conv")(x, train)
+        cls_out = nn.Conv(self.nc * self.num_anchors, (1, 1), use_bias=True,
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.constant(
+                              -math.log((1 - prior) / prior)),
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name="cls_pred")(cls_f)
+        out_dt = self.dtype if self.deploy else jnp.float32
+        cls_out = nn.sigmoid(cls_out.astype(out_dt))
+        reg_f = cv(self.cin, 3, act="silu", dtype=self.dtype,
+                   name="reg_conv")(x, train)
+        reg_out = nn.Conv(4 * (self.reg_max + self.num_anchors), (1, 1),
+                          use_bias=True, kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.constant(1.0),
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name="reg_pred")(reg_f)
+        return x, cls_out, reg_out.astype(out_dt)

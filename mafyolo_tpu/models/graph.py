@@ -113,6 +113,25 @@ def parse_graph(graph: dict, nc: int, ch_in: int = 3):
             c2 = make_divisible(args[0] * gw, 8)
             kw = dict(cin=c1, cout=c2,
                       reg_max=int(args[1]) if len(args) > 1 else 0, nc=nc)
+        elif kind == "RepBlock":
+            # office-path stage block (common.py:374-401); office graphs are
+            # emitted pre-scaled (models/office.py), channels verbatim
+            c1 = cin_of(frm[0], i)
+            c2 = int(args[0])
+            kw = dict(cin=c1, cout=c2, n=n)
+            n = 1
+        elif kind == "SimSPPF":
+            c1 = cin_of(frm[0], i)
+            c2 = int(args[0])
+            kw = dict(cin=c1, cout=c2, k=args[1] if len(args) > 1 else 5)
+        elif kind == "Transpose":
+            c1 = cin_of(frm[0], i)
+            c2 = int(args[0])
+            kw = dict(cin=c1, cout=c2)
+        elif kind == "Head_Effide":
+            c1 = cin_of(frm[0], i)
+            c2 = c1
+            kw = dict(cin=c1, reg_max=int(args[0]), nc=nc)
         elif kind == "Out":
             out_frm = tuple(x % i for x in frm)
             c2 = ch[-1]
@@ -147,6 +166,11 @@ _BLOCK_CTORS = {
     "ConvWrapper": B.ConvWrapper,
     "Head_DepthUni": B.Head_DepthUni,
     "Head_simota": B.Head_Simota,
+    # legacy office path (models/office.py)
+    "RepBlock": B.RepBlock,
+    "SimSPPF": B.SimSPPF,
+    "Transpose": B.TransposeUp,
+    "Head_Effide": B.Head_Effide,
 }
 
 
@@ -167,6 +191,8 @@ class GraphNet(nn.Module):
                               # (fused Pallas front-end, ops/frontend_pallas
                               # .py); input IS layer skip_until's output
     remat: bool = False
+    remat_policy: str = "full"  # "full" | "convs" (save conv/dot outputs,
+                                # recompute only elementwise/BN)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -206,8 +232,14 @@ class GraphNet(nn.Module):
                     # per-block rematerialization: keeps each block's backward a
                     # self-contained unit (bounds compiled-code size AND live
                     # activation memory; jax.checkpoint over the whole model
-                    # does neither)
-                    ctor = nn.remat(ctor, static_argnums=(2,))
+                    # does neither). policy "convs" keeps the per-block
+                    # structure (code size stays bounded) but saves every
+                    # conv/dot output, so the backward recomputes only the
+                    # cheap elementwise/BN tail of each block.
+                    kw_r = {}
+                    if self.remat_policy == "convs":
+                        kw_r["policy"] = _save_convs_policy
+                    ctor = nn.remat(ctor, static_argnums=(2,), **kw_r)
                 x = ctor(deploy=self.deploy, quant=self.quant,
                          calibrate=self.calibrate, dtype=self.dtype,
                          name=f"layer{spec.idx}", **extra, **spec.kw)(inp, train)
@@ -237,6 +269,7 @@ class MAFYolo(nn.Module):
     skip_stem: bool = False
     skip_until: int = -1
     remat: bool = False
+    remat_policy: str = "full"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -246,7 +279,7 @@ class MAFYolo(nn.Module):
                         quant=self.quant, calibrate=self.calibrate,
                         s2d_stem=self.s2d_stem, skip_stem=self.skip_stem,
                         skip_until=self.skip_until,
-                        remat=self.remat,
+                        remat=self.remat, remat_policy=self.remat_policy,
                         dtype=self.dtype, name="net")(x, train)
 
 
@@ -255,6 +288,7 @@ def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
                 quant: bool = False, calibrate: bool = False,
                 s2d_stem: bool = False, skip_stem: bool = False,
                 skip_until: int = -1, remat: bool = False,
+                remat_policy: str = "full",
                 plain_rep: bool = False, dtype: Any = jnp.float32) -> MAFYolo:
     """Build a MAFYolo from a zoo name, a graph dict, or a reference-format yaml path."""
     if isinstance(graph, str):
@@ -269,4 +303,14 @@ def build_model(graph: Any = "maf-yolo-n", nc: int = 80, reg_max: int = 16,
                    strides=strides, deploy=deploy, plain_rep=plain_rep,
                    quant=quant, calibrate=calibrate, s2d_stem=s2d_stem,
                    skip_stem=skip_stem, skip_until=skip_until, remat=remat,
-                   dtype=dtype)
+                   remat_policy=remat_policy, dtype=dtype)
+
+
+def _save_convs_policy(prim, *_, **__):
+    """jax.checkpoint policy: save conv/dot outputs inside remat'd blocks.
+
+    With per-block remat the compiled-code size stays bounded either way;
+    this policy removes the backward's forward-recompute of the convs (the
+    expensive part) at the cost of keeping their activations live.
+    """
+    return prim.name in ("conv_general_dilated", "dot_general")

@@ -161,6 +161,27 @@ def _fold_block(kind: str, kw: Dict, p, s):
             out[pred] = {"kernel": _np(p[pred]["kernel"]),
                          "bias": _np(p[pred]["bias"])}
         return out
+    if kind == "RepBlock":
+        out = {"conv1": fold_repvgg(p["conv1"], s["conv1"], kw["cin"],
+                                    kw["cout"], stride=1)}
+        for i in range(kw["n"] - 1):
+            out[f"block{i}"] = fold_repvgg(p[f"block{i}"], s[f"block{i}"],
+                                           kw["cout"], kw["cout"], stride=1)
+        return out
+    if kind == "SimSPPF":
+        return {"cv1": _fold_cbn(p["cv1"], s["cv1"]),
+                "cv2": _fold_cbn(p["cv2"], s["cv2"])}
+    if kind == "Transpose":
+        return dict(p)       # plain biased ConvTranspose; nothing to fold
+    if kind == "Head_Effide":
+        out = {"stem": _fold_cbn(p["stem"], s["stem"])}
+        for branch in ("cls", "reg"):
+            out[f"{branch}_conv"] = _fold_cbn(p[f"{branch}_conv"],
+                                              s[f"{branch}_conv"])
+            pred = p[f"{branch}_pred"]
+            out[f"{branch}_pred"] = {"kernel": _np(pred["kernel"]),
+                                     "bias": _np(pred["bias"])}
+        return out
     if kind == "Head_DepthUni":
         out = {"stem": _fold_cbn(p["stem"], s["stem"])}
         for branch in ("cls", "reg"):

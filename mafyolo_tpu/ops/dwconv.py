@@ -50,20 +50,27 @@ def _bwd_rule(pad, dilation, res, g):
         g, jnp.flip(kernel, axis=(0, 1)).astype(g.dtype), window_strides=(1, 1),
         padding=[(pad_t, pad_t), (pad_t, pad_t)], rhs_dilation=(dilation, dilation),
         feature_group_count=c, dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # dkernel alternative: Pallas one-pass accumulation (ops/dw_grad_pallas.py,
-    # parity-tested). MEASURED SLOWER in-graph on v5e (bwd 202 vs 180ms): the
-    # per-conv pallas_call boundaries forfeit XLA's fusion of the tap
-    # reductions, same pattern as the stem kernel (docs/STATUS.md). Kept
-    # opt-in via MAFYOLO_PALLAS_DWGRAD=1.
+    # dkernel: the Pallas PLANAR one-pass kernel (dw_grad_planar) is the TPU
+    # default -- x and g stream through VMEM once instead of K*K unrolled
+    # HBM passes. (The round-2 NHWC-block kernel, dw_grad_kernel, measured
+    # SLOWER in-graph -- its kx taps are unaligned sublane slices that
+    # Mosaic relayout-copies per tap; kept as MAFYOLO_PALLAS_DWGRAD=1 for
+    # comparison. MAFYOLO_PALLAS_DWGRAD=0 forces the unrolled XLA taps.)
     import os
-    from mafyolo_tpu.ops.dw_grad_pallas import (dw_grad_kernel,
-                                                dw_grad_supported)
-    if (os.environ.get("MAFYOLO_PALLAS_DWGRAD") == "1"
-            and jax.default_backend() not in ("cpu",)
-            and dw_grad_supported(x.shape[1], k, dilation)
-            and 2 * pad == (k - 1) * dilation):
-        dk = dw_grad_kernel(x, g, k, pad, dilation).astype(kernel.dtype)
-        return dx.astype(x.dtype), dk
+    from mafyolo_tpu.ops.dw_grad_pallas import (
+        dw_grad_kernel, dw_grad_planar, dw_grad_planar_supported,
+        dw_grad_supported)
+    mode = os.environ.get("MAFYOLO_PALLAS_DWGRAD", "planar")
+    if jax.default_backend() not in ("cpu",):
+        if (mode == "planar"
+                and dw_grad_planar_supported(x.shape[1], x.shape[2], k,
+                                             dilation, pad)):
+            dk = dw_grad_planar(x, g, k, pad, dilation).astype(kernel.dtype)
+            return dx.astype(x.dtype), dk
+        if (mode == "1" and dw_grad_supported(x.shape[1], k, dilation)
+                and 2 * pad == (k - 1) * dilation):
+            dk = dw_grad_kernel(x, g, k, pad, dilation).astype(kernel.dtype)
+            return dx.astype(x.dtype), dk
     # default: unrolled shifted reductions (K^2 taps; XLA fuses them well)
     xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
     gh, gw = g.shape[1], g.shape[2]

@@ -128,6 +128,35 @@ def convert_layer(sd: Dict, spec, torch_prefix: str) -> Tuple[Dict, Dict]:
         for i in range(kw["depth"]):
             p[f"m{i}"], s[f"m{i}"] = _dbu(sd, f"{torch_prefix}.m.{i}", kw["kersize"])
         return p, s
+    if kind == "RepBlock":
+        p, s = {}, {}
+        p["conv1"], s["conv1"] = _repvgg(
+            sd, f"{torch_prefix}.conv1",
+            kw["cin"] == kw["cout"])
+        for i in range(kw["n"] - 1):
+            p[f"block{i}"], s[f"block{i}"] = _repvgg(
+                sd, f"{torch_prefix}.block.{i}", True)
+        return p, s
+    if kind == "SimSPPF":
+        p1, s1 = _take_convbn(sd, f"{torch_prefix}.cv1")
+        p2, s2 = _take_convbn(sd, f"{torch_prefix}.cv2")
+        return {"cv1": p1, "cv2": p2}, {"cv1": s1, "cv2": s2}
+    if kind == "Transpose":
+        # torch ConvTranspose2d weight [I, O, kH, kW] -> ours [kH, kW, I, O]
+        w = sd[f"{torch_prefix}.upsample_transpose.weight"]
+        b = sd[f"{torch_prefix}.upsample_transpose.bias"]
+        return {"kernel": np.transpose(w, (2, 3, 0, 1)), "bias": b}, {}
+    if kind == "Head_Effide":
+        # torch_prefix "detect:{j}": the reference stores head layers in
+        # per-role ModuleLists indexed by level (effidehead.py:38-51)
+        det, j = torch_prefix.split(":")
+        p, s = {}, {}
+        p["stem"], s["stem"] = _take_convbn(sd, f"{det}.stems.{j}")
+        p["cls_conv"], s["cls_conv"] = _take_convbn(sd, f"{det}.cls_convs.{j}")
+        p["reg_conv"], s["reg_conv"] = _take_convbn(sd, f"{det}.reg_convs.{j}")
+        p["cls_pred"] = _take_conv_raw(sd, f"{det}.cls_preds.{j}", bias=True)
+        p["reg_pred"] = _take_conv_raw(sd, f"{det}.reg_preds.{j}", bias=True)
+        return p, s
     if kind == "Head_DepthUni":
         p, s = {}, {}
         p["stem"], s["stem"] = _take_convbn(sd, f"{torch_prefix}.stem")
@@ -143,8 +172,11 @@ def convert_layer(sd: Dict, spec, torch_prefix: str) -> Tuple[Dict, Dict]:
     raise NotImplementedError(kind)
 
 
-def state_dict_to_variables(sd: Dict, specs) -> Dict:
-    """Full torch state_dict (keys 'backbone.{i}.*') -> {'params','batch_stats'}."""
+def state_dict_to_variables(sd: Dict, specs, prefixes: Dict = None) -> Dict:
+    """Full torch state_dict -> {'params','batch_stats'}.
+
+    Default prefixes are the yaml path's 'backbone.{i}'; pass
+    models.office.OFFICE_TORCH_PREFIXES for office-path checkpoints."""
     sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
           for k, v in sd.items()}
     params, stats = {}, {}
@@ -152,7 +184,8 @@ def state_dict_to_variables(sd: Dict, specs) -> Dict:
         if spec.kind in ("Upsample", "Concat", "Out"):
             continue
         name = f"layer{spec.idx}"
-        p, s = convert_layer(sd, spec, f"backbone.{spec.idx}")
+        pfx = prefixes[spec.idx] if prefixes else f"backbone.{spec.idx}"
+        p, s = convert_layer(sd, spec, pfx)
         params[name] = p
         if s:
             stats[name] = s

@@ -137,3 +137,33 @@ def build_reference_model(variant: str = "n", num_classes: int = 80):
                   reg_max=16))))
     model = Model(cfg, channels=3, num_classes=num_classes)
     return model
+
+
+YOLOV6N_OFFICE = dict(
+    build_type="office",
+    depth_multiple=0.33,
+    width_multiple=0.25,
+    backbone=dict(type="EfficientRep",
+                  num_repeats=[1, 6, 12, 18, 6],
+                  out_channels=[64, 128, 256, 512, 1024]),
+    neck=dict(type="RepPANNeck",
+              num_repeats=[12, 12, 12, 12],
+              out_channels=[256, 128, 128, 256, 256, 512]),
+    head=dict(type="EffiDeHead", in_channels=[128, 256, 512],
+              num_layers=3, begin_indices=24, anchors=1,
+              out_indices=[17, 20, 23], strides=[8, 16, 32],
+              use_dfl=True, reg_max=16),
+)
+
+
+def build_reference_office_model(num_classes: int = 80):
+    """Construct the reference torch Model via the OFFICE (non-yaml) path
+    (yolo.py:166-172 build_network) with the yolov6n-shaped config."""
+    install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from mafyolo_tpu.utils.config import ConfigDict
+    from yolov6.models.yolo import Model
+    cfg = ConfigDict(dict(model=dict(YOLOV6N_OFFICE),
+                          training_mode="repvgg"))
+    return Model(cfg, channels=3, num_classes=num_classes)
