@@ -109,6 +109,7 @@ class Trainer:
             data_dict["train"], self.img_size, self.batch_size, stride=32, hyp=hyp,
             augment=host_augment, workers=args.workers, shuffle=True, seed=args.seed,
             max_labels=getattr(args, "max_labels", 120),
+            use_processes=getattr(args, "loader_processes", False),
             shard_id=jax.process_index(), num_shards=max(1, jax.process_count()))
         self.max_stepnum = len(self.train_loader)
         self.warmup_stepnum = max(
@@ -283,6 +284,7 @@ class Trainer:
                 self.data_dict["train"], self.img_size, self.batch_size, stride=32,
                 hyp=hyp, augment=True, workers=self.args.workers, shuffle=True,
                 seed=self.args.seed,
+                use_processes=getattr(self.args, "loader_processes", False),
                 max_labels=getattr(self.args, "max_labels", 120),
                 shard_id=jax.process_index(),
                 num_shards=max(1, jax.process_count()))

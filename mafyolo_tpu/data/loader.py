@@ -14,7 +14,8 @@ TPU feeding:
 """
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
+import multiprocessing
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
@@ -22,12 +23,27 @@ import numpy as np
 from mafyolo_tpu.data.datasets import DetectionDataset
 from mafyolo_tpu.utils.events import LOGGER
 
+# Process-pool workers hold the dataset in a module global (set once by the
+# fork initializer) so per-sample submissions ship only (idx, epoch, seed).
+_WORKER_DS = None
+
+
+def _proc_init(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _proc_fetch(args):
+    idx, epoch, seed = args
+    rng = np.random.default_rng((seed, epoch, int(idx), 0x9E3779B9))
+    return _WORKER_DS.get_sample(int(idx), rng)
+
 
 class DataLoader:
     def __init__(self, dataset: DetectionDataset, batch_size: int, shuffle: bool,
                  workers: int = 8, seed: int = 0, max_labels: int = 120,
                  drop_last: bool = False, shard_id: int = 0, num_shards: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_processes: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -38,6 +54,11 @@ class DataLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.prefetch = prefetch
+        # process-pool decode: sidesteps the GIL on many-core hosts (the cv2
+        # decode+mosaic pipeline is the feed-rate wall at pod scale; VERDICT
+        # r2 item 7). Same per-(seed,epoch,idx) RNG keys -> samples are
+        # bitwise identical to the thread loader.
+        self.use_processes = use_processes
         self.epoch = 0
         self._truncated = 0
 
@@ -82,11 +103,22 @@ class DataLoader:
                 (self.seed, epoch, int(idx), 0x9E3779B9))
             return self.dataset.get_sample(int(idx), rng)
 
-        with ThreadPoolExecutor(self.workers) as pool:
+        if self.use_processes:
+            pool_cm = ProcessPoolExecutor(
+                self.workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_proc_init, initargs=(self.dataset,))
+        else:
+            pool_cm = ThreadPoolExecutor(self.workers)
+
+        with pool_cm as pool:
             pending = []
             bi = 0
 
             def submit(b):
+                if self.use_processes:
+                    return [pool.submit(_proc_fetch, (i, self.epoch,
+                                                      self.seed)) for i in b]
                 return [pool.submit(fetch, (i, self.epoch)) for i in b]
 
             while bi < len(batches) or pending:
@@ -106,7 +138,7 @@ class DataLoader:
 def create_dataloader(path, img_size, batch_size, stride=32, hyp=None, augment=False,
                       rect=False, pad=0.0, workers=8, shuffle=False, seed=0,
                       class_names=None, max_labels=120, shard_id=0, num_shards=1,
-                      task="train"):
+                      task="train", use_processes=False):
     """Dataset + loader in one call (data_load.py:14-114 analog)."""
     dataset = DetectionDataset(
         path, img_size=img_size, augment=augment, hyp=hyp, rect=rect,
@@ -114,5 +146,6 @@ def create_dataloader(path, img_size, batch_size, stride=32, hyp=None, augment=F
         task=task)
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=shuffle,
                         workers=workers, seed=seed, max_labels=max_labels,
-                        drop_last=augment, shard_id=shard_id, num_shards=num_shards)
+                        drop_last=augment, shard_id=shard_id,
+                        num_shards=num_shards, use_processes=use_processes)
     return loader, dataset

@@ -117,3 +117,31 @@ def test_rect_batching(synth):
                           stride=32, pad=0.5)
     assert hasattr(ds, "batch_shapes")
     assert (ds.batch_shapes % 32 == 0).all()
+
+
+def test_process_loader_matches_thread_loader(tmp_path):
+    """The process-pool loader must produce bitwise-identical batches to the
+    thread loader (same per-(seed,epoch,idx) RNG keys)."""
+    import numpy as np
+    from mafyolo_tpu.data import create_dataloader
+    from tests.helpers import make_synth_dataset
+    yml = make_synth_dataset(tmp_path, n_images=8, img_size=96, nc=3, seed=0,
+                             splits=("train",))
+    # mixup=0: the cached-mosaic mixup partner depends on cache access ORDER
+    # (true of the reference and of our thread loader across runs too); every
+    # order-independent transform must match bitwise
+    hyp = dict(mosaic=1.0, mixup=0.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
+               degrees=0.0, translate=0.1, scale=0.5, shear=0.0, fliplr=0.5)
+    batches = {}
+    for use_proc in (False, True):
+        loader, _ = create_dataloader(
+            str(tmp_path / "images" / "train"), 96, 4, stride=32, hyp=hyp,
+            augment=True, workers=2, shuffle=True, seed=7,
+            use_processes=use_proc)
+        loader.set_epoch(1)
+        batches[use_proc] = [(np.asarray(i), np.asarray(t))
+                             for i, t, _ in loader]
+    assert len(batches[False]) == len(batches[True]) > 0
+    for (ia, ta), (ib, tb) in zip(batches[False], batches[True]):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta, tb)

@@ -52,16 +52,25 @@ def main():
     print(f"scan + first epoch ({n_first} imgs): {t_scan_first:.2f}s "
           f"({n_first / t_scan_first:.1f} img/s cold)")
 
-    t0 = time.perf_counter()
-    n = 0
-    for ep in range(1, args.epochs + 1):
-        loader.set_epoch(ep)
-        for imgs, targets, _ in loader:
-            n += imgs.shape[0]
-    dt = time.perf_counter() - t0
-    print(f"steady loader throughput: {n / dt:.1f} img/s "
-          f"({args.epochs} epochs, {n} imgs, mosaic+mixup on, "
-          f"{args.workers} workers)")
+    # worker x mode sweep: the feed-rate table for the pod-scale plan
+    # (docs/STATUS.md round-3): a v5e-8 at the current step rate needs
+    # 8 * step-img/s from ONE host unless feeding is multi-host.
+    print(f"{'mode':9s} {'workers':7s} img/s")
+    for use_proc in (False, True):
+        for w in sorted({1, 2, 4, args.workers}):
+            loader, _ = create_dataloader(
+                f"{root}/images/train", args.img_size, args.batch, stride=32,
+                hyp=hyp, augment=True, workers=w, shuffle=True, seed=0,
+                use_processes=use_proc)
+            n = 0
+            t0 = time.perf_counter()
+            for ep in range(1, args.epochs + 1):
+                loader.set_epoch(ep)
+                for imgs, targets, _ in loader:
+                    n += imgs.shape[0]
+            dt = time.perf_counter() - t0
+            print(f"{'process' if use_proc else 'thread':9s} {w:7d} "
+                  f"{n / dt:.1f}")
 
 
 if __name__ == "__main__":
