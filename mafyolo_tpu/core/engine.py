@@ -63,12 +63,15 @@ class Trainer:
         # gradient masks instead of the multi-branch RepVGG blocks
         # (reference engine.py:60-63, RepOptimizer.py:84-152)
         self.training_mode = cfg.get("training_mode", "repvgg")
-        # per-block remat: without it the whole-graph backward compiles to a
-        # multi-GB executable on TPU (docs/STATUS.md); with it, 157MB and fast
+        # remat default OFF (round 3): with the custom DW-conv VJP the
+        # whole-graph backward now compiles to 167MB (the round-1 multi-GB
+        # blowup came from XLA's native depthwise grad lowering), and
+        # skipping the per-block recompute cuts fwd+loss+grad 197 -> 169 ms
+        # (bs32@640, N). --remat turns it back on for memory-tight configs.
         self.model = build_model(self.graph, nc=self.nc,
                                  reg_max=cfg.model.head.reg_max,
                                  strides=tuple(cfg.model.head.strides),
-                                 remat=bool(getattr(args, "remat", True)),
+                                 remat=bool(getattr(args, "remat", False)),
                                  plain_rep=self.training_mode == "repopt",
                                  dtype=dtype)
 

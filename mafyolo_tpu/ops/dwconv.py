@@ -50,17 +50,17 @@ def _bwd_rule(pad, dilation, res, g):
         g, jnp.flip(kernel, axis=(0, 1)).astype(g.dtype), window_strides=(1, 1),
         padding=[(pad_t, pad_t), (pad_t, pad_t)], rhs_dilation=(dilation, dilation),
         feature_group_count=c, dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # dkernel: the Pallas PLANAR one-pass kernel (dw_grad_planar) is the TPU
-    # default -- x and g stream through VMEM once instead of K*K unrolled
-    # HBM passes. (The round-2 NHWC-block kernel, dw_grad_kernel, measured
-    # SLOWER in-graph -- its kx taps are unaligned sublane slices that
-    # Mosaic relayout-copies per tap; kept as MAFYOLO_PALLAS_DWGRAD=1 for
-    # comparison. MAFYOLO_PALLAS_DWGRAD=0 forces the unrolled XLA taps.)
+    # dkernel: the unrolled XLA taps remain the default. BOTH Pallas
+    # alternatives measured slower in-graph on v5e (round-2 NHWC-block
+    # kernel: kx taps are unaligned sublane slices Mosaic relayout-copies;
+    # round-3 planar kernel: the per-tap cross-lane reductions cost more
+    # than the HBM re-reads they save -- 282 vs 197 ms fwd+loss+grad).
+    # Kept opt-in for future toolchains: MAFYOLO_PALLAS_DWGRAD=planar|1.
     import os
     from mafyolo_tpu.ops.dw_grad_pallas import (
         dw_grad_kernel, dw_grad_planar, dw_grad_planar_supported,
         dw_grad_supported)
-    mode = os.environ.get("MAFYOLO_PALLAS_DWGRAD", "planar")
+    mode = os.environ.get("MAFYOLO_PALLAS_DWGRAD", "0")
     if jax.default_backend() not in ("cpu",):
         if (mode == "planar"
                 and dw_grad_planar_supported(x.shape[1], x.shape[2], k,

@@ -50,7 +50,7 @@ def main():
     setup_jax()
     b, s = args.batch, args.img_size
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    model = build_model("maf-yolo-n", nc=80, remat=True, dtype=dtype)
+    model = build_model("maf-yolo-n", nc=80, remat=False, dtype=dtype)
     state = init_train_state(model, jax.random.PRNGKey(0), s)
     step = make_train_step(model, num_classes=80, img_size=s)
 

@@ -29,6 +29,9 @@ def get_args_parser():
     p.add_argument("--batch-size", type=int, default=32, help="global batch size")
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--remat", action="store_true",
+                   help="per-block rematerialization (trades ~16%% step time "
+                        "for lower activation memory; off by default)")
     p.add_argument("--loader-processes", action="store_true",
                    help="decode/augment in a process pool (GIL-free host "
                         "feeding for many-core hosts)")
