@@ -55,3 +55,27 @@ def make_synth_dataset(root, n_images=16, img_size=320, max_objects=4, nc=3, see
     yaml_path = root / "dataset.yaml"
     yaml_path.write_text(yaml.safe_dump(data))
     return str(yaml_path)
+
+
+# A minimal 3-level graph exercising the same block kinds / loss / train-step
+# code paths as the shipped MAF graphs at a fraction of the CPU compile cost
+# (the full maf-yolo-n train-step compile is ~4 min on a 1-core CPU host).
+TINY_GRAPH = dict(
+    depth_multiple=1.0,
+    width_multiple=1.0,
+    backbone=[
+        [-1, 1, "RepVGGBlock", [8, 3, 2]],
+        [-1, 1, "RepVGGBlock", [16, 3, 2]],
+        [-1, 1, "RepHDW", [16, True, 0.5, 3, 1]],
+        [-1, 1, "MPRep", [32]],                   # P3
+        [-1, 1, "MPRep", [32]],                   # P4
+        [-1, 1, "MPRep", [32]],                   # P5
+    ],
+    neck=[],
+    effidehead=[
+        [3, 1, "Head_DepthUni", [32, 16, 3]],
+        [4, 1, "Head_DepthUni", [32, 16, 3]],
+        [5, 1, "Head_DepthUni", [32, 16, 3]],
+        [[6, 7, 8], 1, "Out", []],
+    ],
+)

@@ -7,8 +7,13 @@ from mafyolo_tpu.models import build_model
 from mafyolo_tpu.models.losses import detection_loss
 
 
-def _setup(nc=5, img=64):
-    m = build_model("maf-yolo-n", nc=nc)
+import functools
+
+
+@functools.lru_cache(maxsize=2)
+def _setup_cached(nc=5, img=64):
+    from tests.helpers import TINY_GRAPH
+    m = build_model(TINY_GRAPH, nc=nc)
     x = jax.random.uniform(jax.random.PRNGKey(0), (2, img, img, 3))
     v = m.init(jax.random.PRNGKey(1), x, train=False)
     targets = np.full((2, 8, 5), 0.0, np.float32)
@@ -18,6 +23,10 @@ def _setup(nc=5, img=64):
     targets[0, 1] = [3, 0.25, 0.25, 0.2, 0.3]
     targets[1, 0] = [0, 0.7, 0.6, 0.3, 0.2]
     return m, x, v, jnp.array(targets)
+
+
+def _setup(nc=5, img=64):
+    return _setup_cached(nc, img)
 
 
 def test_loss_finite_both_phases():

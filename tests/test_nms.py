@@ -110,8 +110,9 @@ def test_fused_decode_nms_matches_unfused():
     from mafyolo_tpu.models.detect import decode_eval
     from mafyolo_tpu.ops.nms import fused_decode_nms
 
+    from tests.helpers import TINY_GRAPH
     nc, img = 7, 96
-    m = build_model("maf-yolo-n", nc=nc)
+    m = build_model(TINY_GRAPH, nc=nc)
     x = jax.random.uniform(jax.random.PRNGKey(3), (2, img, img, 3))
     v = m.init(jax.random.PRNGKey(4), x, train=False)
     outs = m.apply(v, x, train=False)

@@ -84,7 +84,8 @@ def test_ema_formula():
 def test_train_step_accumulate_and_apply():
     from mafyolo_tpu.core.train_state import init_train_state, make_train_step
     from mafyolo_tpu.models import build_model
-    m = build_model("maf-yolo-n", nc=3)
+    from tests.helpers import TINY_GRAPH
+    m = build_model(TINY_GRAPH, nc=3)
     state = init_train_state(m, jax.random.PRNGKey(0), 64)
     step = make_train_step(m, num_classes=3, img_size=64)
     imgs = np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3), np.uint8)
@@ -98,8 +99,9 @@ def test_train_step_accumulate_and_apply():
     from mafyolo_tpu.core.train_state import params_pytree
 
     def pred_bias(s):
+        head = f"layer{m.out_frm[0]}"
         return np.asarray(
-            params_pytree(m, 64, s)["net"]["layer31"]["cls_pred"]["bias"])
+            params_pytree(m, 64, s)["net"][head]["cls_pred"]["bias"])
 
     p0 = pred_bias(state)
     # accumulate-only step: params unchanged, grad_acc nonzero, updates unchanged
