@@ -161,13 +161,19 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
         return jnp.concatenate([x1y1, x2y2], -1)
 
     def fast_single(cls, reg):
-        """Two-level threshold-compaction selection for one image.
+        """Threshold-compaction selection for one image.
 
         Level 1 compacts ANCHORS whose class-max clears the threshold (a
-        [A] mask, 64x smaller than the [A*nc] pair mask); level 2 compacts
-        the (anchor, class) pairs of the <= kp survivor rows (a [kp*nc]
-        mask). Exact: an above-threshold pair implies its anchor's max is
-        above threshold, so level 1 loses nothing while counts fit.
+        [A] mask, 64x smaller than the [A*nc] pair mask). The (anchor,
+        class) pairs of the <= kp survivor rows are then extracted as each
+        row's TOP-2 classes (round-3: the flat [kp*nc] second compaction
+        pass cost ~0.5 ms/batch32 of slot-gather machinery; two masked max
+        passes over the [kp, nc] rows are near-free). Exact: an
+        above-threshold pair implies its anchor's max is above threshold
+        (level 1 loses nothing), and any row with >2 above-threshold
+        classes -- or a total pair count over kp -- trips the batch-level
+        fallback to the dense top-M path, so the kept pair set always
+        equals the reference's selection (nms.py:63-80).
         Selection runs in the head's output dtype (bf16 in TPU deploy --
         sigmoid outputs, so sort order is rounding-monotone and the sort
         traffic halves; f32 on CPU/parity paths).
@@ -180,15 +186,26 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
         if not multi_label:
             best = rows.max(-1, keepdims=True)
             rows = jnp.where(rows == best, rows, zero)
-        flat = rows.reshape(-1)                              # [kp*nc]
-        pidx, count = compact_mask_indices(flat > conf_thres, kp)
-        valid = jnp.arange(kp, dtype=jnp.int32) < count
-        sc = jnp.where(valid, flat[pidx], zero)
-        # sort survivors by score desc (tiny: kp elements, not A*nc)
-        sc_sorted, order = lax.top_k(sc, kp)
-        pidx = pidx[order]
-        row_idx = aidx[pidx // nc]                           # anchor index
-        cls_idx = (pidx % nc).astype(jnp.int32)
+        rows = jnp.where(rows > conf_thres, rows, zero)
+        # top-2 classes per surviving row: two masked max passes
+        cls_iota = lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+        v1 = rows.max(-1)                                    # [kp]
+        c1 = jnp.where(rows == v1[:, None], cls_iota, nc).min(-1)
+        rest = jnp.where(cls_iota == c1[:, None], zero, rows)
+        v2 = rest.max(-1)
+        c2 = jnp.where(rest == v2[:, None], cls_iota, nc).min(-1)
+        nabove = (rows > zero).sum(-1)                       # [kp] i32
+        count = nabove.sum()
+        overflow = jnp.maximum(jnp.where(jnp.any(nabove > 2), kp + 1, 0),
+                               count)
+        sc2 = jnp.concatenate([v1, v2])                      # [2kp]
+        ridx2 = jnp.concatenate([aslot, aslot])
+        cidx2 = jnp.concatenate([c1, c2]).astype(jnp.int32)
+        # keep the kp best pairs (count <= kp or the fallback fires, so
+        # nothing above threshold is ever dropped)
+        sc_sorted, order = lax.top_k(sc2, kp)
+        row_idx = aidx[ridx2[order]]                         # anchor index
+        cls_idx = jnp.where(sc_sorted > zero, cidx2[order], 0)
         cand_boxes = decode_boxes(reg[row_idx], row_idx)
         off = cand_boxes if agnostic else (
             cand_boxes + cls_idx[:, None].astype(cand_boxes.dtype) * MAX_WH)
@@ -198,7 +215,7 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
             cand_boxes, off, sc_sorted.astype(jnp.float32), cls_idx,
             iou_thres, max_det, block=max(512, kp))
         return dict(boxes=b, scores=s, classes=c, valid=v), \
-            jnp.maximum(acount, count)
+            jnp.maximum(acount, overflow)
 
     def single(cls, reg):
         # obj==1 in the DFL head => conf = cls score (yolo.py:390). Scores
