@@ -64,27 +64,45 @@ def compact_mask_indices(mask, k: int):
 
     j = jnp.arange(k, dtype=jnp.int32)                         # output slots
 
+    # NO GATHERS below: XLA's TPU gather lowering costs ~100-250 us per op
+    # at these shapes regardless of data size (round-3 trace,
+    # tools/profile_xref.py), so every slot lookup is expressed as a masked
+    # reduce or a one-hot MXU dot instead.
     # slot -> tile: largest t with off[t] <= j, via two-level compare-reduce
     # (a [k, nt] one-shot compare is O(k*nt); the coarse level cuts it to
     # O(k * (nt/128 + 128 + 128)) which matters at nt ~ 5000+)
+    big = jnp.iinfo(jnp.int32).max
     if nt > 4 * LANES:
         ntc = _round_up(nt, LANES) // LANES
-        off_p = jnp.pad(off, (0, ntc * LANES - nt),
-                        constant_values=jnp.iinfo(jnp.int32).max)
-        coarse_off = off_p.reshape(ntc, LANES)[:, 0]           # [ntc]
-        cidx = (coarse_off[None, :] <= j[:, None]).sum(-1,
-                                                       dtype=jnp.int32) - 1
-        cidx = jnp.maximum(cidx, 0)
-        fine = off_p.reshape(ntc, LANES)[cidx]                 # [k, 128]
-        tile_of = cidx * LANES + (fine <= j[:, None]).sum(-1,
-                                                          dtype=jnp.int32) - 1
+        off_p = jnp.pad(off, (0, ntc * LANES - nt), constant_values=big)
+        off_2d = off_p.reshape(ntc, LANES)
+        coarse_off = off_2d[:, 0]                              # [ntc]
+        cmask = coarse_off[None, :] <= j[:, None]              # [k, ntc]
+        cidx = jnp.maximum(cmask.sum(-1, dtype=jnp.int32) - 1, 0)
+        # fine = off_2d[cidx] as a one-hot f32 dot (rows < 2^24: exact)
+        chot = (cidx[:, None] ==
+                jnp.arange(ntc, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+        fine = lax.dot_general(
+            chot, jnp.minimum(off_2d, 1 << 24).astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ()))).astype(jnp.int32)
+        fmask = fine <= j[:, None]                             # [k, 128]
+        tile_of = cidx * LANES + fmask.sum(-1, dtype=jnp.int32) - 1
+        off_sel = jnp.max(jnp.where(fmask, fine, 0), axis=-1)  # off[tile_of]
     else:
-        tile_of = (off[None, :] <= j[:, None]).sum(-1, dtype=jnp.int32) - 1
+        tmask = off[None, :] <= j[:, None]                     # [k, nt]
+        tile_of = tmask.sum(-1, dtype=jnp.int32) - 1
+        # off is nondecreasing, so off[tile_of] is the largest masked value
+        off_sel = jnp.max(jnp.where(tmask, off[None, :], 0), axis=-1)
     tile_of = jnp.clip(tile_of, 0, nt - 1)
 
-    # slot -> lane: rank-th set bit of the tile's mask row
-    rank = j - off[tile_of]                                    # [k]
-    rows = m[tile_of]                                          # [k, 128] bool
+    # slot -> lane: rank-th set bit of the tile's mask row; rows = m[tile_of]
+    # as a one-hot MXU dot ([k, nt] @ [nt, 128] beats the gather by ~100x)
+    rank = j - off_sel                                         # [k]
+    thot = (tile_of[:, None] ==
+            jnp.arange(nt, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    rows = lax.dot_general(
+        thot, m.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())))            # [k, 128]
     csum = jnp.cumsum(rows.astype(jnp.int32), axis=-1)         # [k, 128]
     pos = (csum <= rank[:, None]).sum(-1, dtype=jnp.int32)     # [k]
     pos = jnp.minimum(pos, LANES - 1)

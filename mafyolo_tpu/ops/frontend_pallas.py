@@ -348,24 +348,31 @@ def _kernel(x_hbm, riota, *refs, out_ref=None, scratch=None, sem=None,
         def dot(w_ref, b_ref, x):
             return jax.nn.silu(rawdot(w_ref, x) + b_ref[...]).astype(bf16)
 
+        mleft_f = mleft.astype(f32)
+        mright_f = mright.astype(f32)
+
         def dw3x3(x, wdw_ref, bdw_ref):
             # 9-tap depthwise stencil: per-plane scalar weights broadcast
             # over lanes; dy shifts by whole rows (slice+concat), dx by
-            # lane rolls with wrap-edge masks.
+            # lane rolls with wrap-edge masks. The f32 accumulation input
+            # is converted ONCE up front: shifting in f32 costs the same
+            # VPU passes as bf16 (the VPU is f32-native) and drops the
+            # per-tap convert (9 per bottleneck).
+            xf = x.astype(f32)
             c = x.shape[0]
-            z = jnp.zeros((c, lp), x.dtype)
-            shifted = {-1: jnp.concatenate([z, x[:, :-lp]], axis=1),
-                       0: x,
-                       1: jnp.concatenate([x[:, lp:], z], axis=1)}
-            acc = bdw_ref[...] * jnp.ones_like(x, f32)
+            z = jnp.zeros((c, lp), f32)
+            shifted = {-1: jnp.concatenate([z, xf[:, :-lp]], axis=1),
+                       0: xf,
+                       1: jnp.concatenate([xf[:, lp:], z], axis=1)}
+            acc = bdw_ref[...] * jnp.ones_like(xf)
             for u in (-1, 0, 1):
                 for v in (-1, 0, 1):
                     t = shifted[u]
                     if v == -1:
-                        t = jnp.roll(t, 1, axis=1) * mleft
+                        t = jnp.roll(t, 1, axis=1) * mleft_f
                     elif v == 1:
-                        t = jnp.roll(t, -1, axis=1) * mright
-                    acc += wdw_ref[3 * (u + 1) + (v + 1)] * t.astype(f32)
+                        t = jnp.roll(t, -1, axis=1) * mright_f
+                    acc += wdw_ref[3 * (u + 1) + (v + 1)] * t
             return jax.nn.silu(acc).astype(bf16)
 
         win, bin_ = rest[0:2]

@@ -69,13 +69,19 @@ def _blocked_greedy_select(cand_boxes, off_boxes, scores, cls_idx,
         iou = box_iou_pairwise(off_boxes, off_boxes)
         keep = _greedy_nms_mask(iou, scores > 0, iou_thres)
         kept_scores = jnp.where(keep, scores, 0.0)
+        # one stable co-sort carries boxes (as 4 lane columns) and classes
+        # with the scores: top_k + two output gathers is ~100 us/gather on
+        # TPU, the sort is ~5 us
+        srt = lax.sort((jnp.negative(kept_scores), cls_idx,
+                        *(cand_boxes[:, i] for i in range(4))),
+                       num_keys=1, is_stable=True)
         k = min(max_det, m)
-        out_scores, out_idx = lax.top_k(kept_scores, k)
         pad = max_det - k
-        return (jnp.pad(cand_boxes[out_idx], ((0, pad), (0, 0))),
-                jnp.pad(out_scores, (0, pad)),
-                jnp.pad(cls_idx[out_idx], (0, pad)),
-                jnp.pad(out_scores > 0, (0, pad)))
+        out_scores = jnp.pad(jnp.negative(srt[0][:k]), (0, pad))
+        return (jnp.pad(jnp.stack(srt[2:], -1)[:k], ((0, pad), (0, 0))),
+                out_scores,
+                jnp.pad(srt[1][:k], (0, pad)),
+                out_scores > 0)
 
     nb = -(-m // block)
     pad_m = nb * block - m
@@ -138,11 +144,33 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
     max_labels_per_anchor is kept for API stability but only distinguishes
     multi_label on/off.
     """
-    from mafyolo_tpu.models.detect import anchor_points_for, dfl_decode, \
-        flatten_train_outputs
+    from mafyolo_tpu.models.detect import dfl_decode, flatten_train_outputs
     from mafyolo_tpu.ops.compaction import compact_mask_indices
     hw_list, cls_scores, reg_distri = flatten_train_outputs(head_outs)
-    points, stride_col = anchor_points_for(hw_list, strides)
+
+    # flat anchor index -> (center point, stride) in closed form: the anchor
+    # tables are row-major per scale, so a few compares + one div/mod replace
+    # two table gathers (XLA TPU gathers cost ~100 us each at these shapes)
+    scale_offs, o = [], 0
+    for (h, w), s in zip(hw_list, strides):
+        scale_offs.append((o, w, float(s)))
+        o += h * w
+
+    def anchor_point_at(idx):
+        off = jnp.zeros_like(idx)
+        wsel = jnp.full_like(idx, scale_offs[0][1])
+        ssel = jnp.full(idx.shape, scale_offs[0][2], jnp.float32)
+        for o, w, s in scale_offs[1:]:
+            in_s = idx >= o
+            off = jnp.where(in_s, o, off)
+            wsel = jnp.where(in_s, w, wsel)
+            ssel = jnp.where(in_s, jnp.float32(s), ssel)
+        local = idx - off
+        gy = local // wsel
+        gx = local - gy * wsel
+        pts = jnp.stack([gx.astype(jnp.float32) + 0.5,
+                         gy.astype(jnp.float32) + 0.5], -1)
+        return pts, ssel[:, None]
 
     nc = cls_scores.shape[-1]
     a = cls_scores.shape[1]
@@ -154,8 +182,7 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
         """DFL-decode gathered reg rows at their anchors -> xyxy image px."""
         ltrb = dfl_decode(reg_rows, reg_max) if use_dfl \
             else reg_rows.astype(jnp.float32)
-        pts = points[anchor_idx]
-        sc = stride_col[anchor_idx]
+        pts, sc = anchor_point_at(anchor_idx)
         x1y1 = (pts - ltrb[:, :2]) * sc
         x2y2 = (pts + ltrb[:, 2:]) * sc
         return jnp.concatenate([x1y1, x2y2], -1)
@@ -199,13 +226,17 @@ def fused_decode_nms(head_outs, strides=(8, 16, 32), reg_max: int = 16,
         overflow = jnp.maximum(jnp.where(jnp.any(nabove > 2), kp + 1, 0),
                                count)
         sc2 = jnp.concatenate([v1, v2])                      # [2kp]
-        ridx2 = jnp.concatenate([aslot, aslot])
+        ridx2 = jnp.concatenate([aidx, aidx])                # anchor ids
         cidx2 = jnp.concatenate([c1, c2]).astype(jnp.int32)
         # keep the kp best pairs (count <= kp or the fallback fires, so
-        # nothing above threshold is ever dropped)
-        sc_sorted, order = lax.top_k(sc2, kp)
-        row_idx = aidx[ridx2[order]]                         # anchor index
-        cls_idx = jnp.where(sc_sorted > zero, cidx2[order], 0)
+        # nothing above threshold is ever dropped). One stable CO-SORT
+        # carries the payloads with the keys -- top_k plus permutation
+        # gathers costs ~100 us per gather on TPU, the sort ~5 us.
+        neg, row_s, cls_s = lax.sort(
+            (jnp.negative(sc2), ridx2, cidx2), num_keys=1, is_stable=True)
+        sc_sorted = jnp.negative(neg[:kp])
+        row_idx = row_s[:kp]
+        cls_idx = jnp.where(sc_sorted > zero, cls_s[:kp], 0)
         cand_boxes = decode_boxes(reg[row_idx], row_idx)
         off = cand_boxes if agnostic else (
             cand_boxes + cls_idx[:, None].astype(cand_boxes.dtype) * MAX_WH)
