@@ -161,6 +161,33 @@ class _RawConv(nn.Module):
                             (self.k, self.k, self.cin // self.groups, self.cout),
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.cout,), jnp.float32)
+        if isinstance(x, (tuple, list)):
+            # Concat-elimination (deploy graphs): conv(concat(xs)) ==
+            # sum_i conv(x_i, K[:, :, off_i:off_i+c_i, :]) -- the concat
+            # buffer (written + re-read from HBM around the conv) never
+            # materializes. LazyUp2x inputs additionally commute the 1x1
+            # dot to the pre-upsample resolution (4x fewer dot FLOPs; the
+            # nearest repeat runs on the cheap partial result instead).
+            assert not self.quant and self.groups == 1
+            y = None
+            off = 0
+            for xi in x:
+                lazy = isinstance(xi, LazyUp2x)
+                assert not lazy or (self.k == 1 and self.stride == 1)
+                t = xi.pre if lazy else xi
+                ci = t.shape[-1]
+                ki = jax.lax.slice_in_dim(kernel, off, off + ci, axis=2)
+                off += ci
+                yi = jax.lax.conv_general_dilated(
+                    t.astype(self.dtype), ki.astype(self.dtype),
+                    window_strides=(self.stride, self.stride),
+                    padding=[(self.pad, self.pad), (self.pad, self.pad)],
+                    rhs_dilation=(self.dilation, self.dilation),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                if lazy:
+                    yi = _up2x(yi)
+                y = yi if y is None else y + yi
+            return y + bias.astype(self.dtype)
         if self.quant:
             amax = self.variable("quant", "act_amax",
                                  lambda: jnp.zeros((), jnp.float32))
@@ -216,6 +243,23 @@ class _RawConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class LazyUp2x:
+    """Deferred nearest-2x upsample: holds the pre-upsample tensor so a
+    consuming 1x1 conv can commute the dot to quarter resolution
+    (conv1x1(up2x(x)) == up2x(conv1x1(x)) exactly for nearest-neighbor).
+    Produced by GraphNet's deploy-mode concat fusion; consumed by _RawConv."""
+    __slots__ = ("pre",)
+
+    def __init__(self, pre):
+        self.pre = pre
+
+
+def _up2x(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 class ConvAct(nn.Module):
     """Deploy-form conv with bias + optional activation (the fold target of ConvBN)."""
     cout: int
@@ -233,7 +277,11 @@ class ConvAct(nn.Module):
     def __call__(self, x, train: bool = False):
         del train
         p = autopad(self.k, self.dilation) if self.pad is None else self.pad
-        cin = x.shape[-1]
+        if isinstance(x, (tuple, list)):
+            cin = sum((t.pre if isinstance(t, LazyUp2x) else t).shape[-1]
+                      for t in x)
+        else:
+            cin = x.shape[-1]
         x = _RawConv(cin, self.cout, self.k, self.stride, self.groups,
                      self.dilation, p, self.dtype, quant=self.quant,
                      calibrate=self.calibrate, name="conv")(x)
@@ -662,9 +710,7 @@ class Upsample2x(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train
-        b, h, w, c = x.shape
-        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-        return x.reshape(b, 2 * h, 2 * w, c)
+        return _up2x(x)
 
 
 class Concat(nn.Module):

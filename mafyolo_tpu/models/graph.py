@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
@@ -174,6 +175,41 @@ _BLOCK_CTORS = {
 }
 
 
+def _concat_fusion_sets(specs, save):
+    """Static analysis for the deploy-mode concat/upsample elimination.
+
+    Returns (fused_concats, lazy_ups):
+      fused_concats: Concat rows whose ONLY consumer is the immediately
+        following RepHDW (whose first op is a 1x1 ConvAct) -- the concat is
+        passed through as a tuple and the conv splits along Cin, so the
+        concatenated buffer never hits HBM.
+      lazy_ups: Upsample rows ALL of whose consumers are fused concats --
+        the nearest-2x repeat commutes past the consuming 1x1 dots
+        (LazyUp2x), so the upsampled buffer never materializes either and
+        the dots run at quarter resolution.
+    """
+    consumers = {}
+    by_idx = {s.idx: s for s in specs}
+    for s in specs:
+        for f in s.frm:
+            j = s.idx + f if f < 0 else f
+            consumers.setdefault(j, []).append(s.idx)
+    fused = set()
+    for s in specs:
+        if s.kind != "Concat" or s.idx in save:
+            continue
+        nxt = by_idx.get(s.idx + 1)
+        if (consumers.get(s.idx) == [s.idx + 1] and nxt is not None
+                and nxt.kind == "RepHDW" and nxt.frm == (-1,)):
+            fused.add(s.idx)
+    lazy = set()
+    for s in specs:
+        if s.kind == "Upsample" and consumers.get(s.idx) and all(
+                c in fused for c in consumers[s.idx]):
+            lazy.add(s.idx)
+    return frozenset(fused), frozenset(lazy)
+
+
 class GraphNet(nn.Module):
     """Executes a parsed layer graph; returns what the trailing Out row collects."""
     specs: Tuple[LayerSpec, ...]
@@ -198,6 +234,10 @@ class GraphNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         skip_until = max(self.skip_until, 0 if self.skip_stem else -1)
+        fuse = (self.deploy and not self.quant and os.environ.get(
+            "MAFYOLO_FUSE_CONCAT", "1") == "1")
+        fused_cats, lazy_ups = (_concat_fusion_sets(self.specs, self.save)
+                                if fuse else (frozenset(), frozenset()))
         y: Dict[int, Any] = {}
         for spec in self.specs:
             if spec.kind == "Out":
@@ -216,9 +256,15 @@ class GraphNet(nn.Module):
             else:
                 inp = x
             if spec.kind == "Upsample":
-                x = B.Upsample2x(dtype=self.dtype, name=f"layer{spec.idx}")(inp, train)
+                if spec.idx in lazy_ups:
+                    x = B.LazyUp2x(inp)   # paramless; consumers commute it
+                else:
+                    x = B.Upsample2x(dtype=self.dtype, name=f"layer{spec.idx}")(inp, train)
             elif spec.kind == "Concat":
-                x = B.Concat(dtype=self.dtype, name=f"layer{spec.idx}")(inp, train)
+                if spec.idx in fused_cats:
+                    x = tuple(inp)        # split-conv consumer, no concat
+                else:
+                    x = B.Concat(dtype=self.dtype, name=f"layer{spec.idx}")(inp, train)
             elif (self.s2d_stem and spec.idx == 0
                   and spec.kind == "RepVGGBlock"):
                 x = B.S2DStem(cout=spec.kw["cout"], dtype=self.dtype,

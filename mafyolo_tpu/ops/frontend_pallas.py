@@ -324,15 +324,22 @@ def _kernel(x_hbm, riota, *refs, out_ref=None, scratch=None, sem=None,
         # One RepVGG stage on blocked planes: taps (dy,dx) in {-1,0}^2 as
         # lane rolls; dy=-1 as slice+concat (Mosaic's dynamic_rotate rejects
         # multi-register roll amounts) with an explicit zero top fill.
+        # Four accumulated dots (one per tap group, kernel columns sliced)
+        # instead of one dot over a concatenated [4*Cin, S2] tap tensor: the
+        # concat materialization was a pure VPU copy of 4x the input planes,
+        # while the MXU cost of 4 K=Cin dots ~= 1 K=4*Cin dot at these sizes.
         c = x.shape[0]
         up = jnp.concatenate(
             [jnp.zeros((c, lp), x.dtype), x[:, :-lp]], axis=1)
-        taps = jnp.concatenate(
-            [jnp.roll(up, 1, axis=1) * mleft, up,
-             jnp.roll(x, 1, axis=1) * mleft, x], axis=0)    # [4*Cin, S2]
-        y = jax.lax.dot_general(
-            w_ref[...], taps, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
+        taps = (jnp.roll(up, 1, axis=1) * mleft, up,
+                jnp.roll(x, 1, axis=1) * mleft, x)
+        y = None
+        for g, t in enumerate(taps):
+            d = jax.lax.dot_general(
+                w_ref[:, g * c:(g + 1) * c], t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            y = d if y is None else y + d
         y = jnp.maximum(y + b_ref[...], 0.0).astype(bf16)
         return y * inimg
 
@@ -348,31 +355,39 @@ def _kernel(x_hbm, riota, *refs, out_ref=None, scratch=None, sem=None,
         def dot(w_ref, b_ref, x):
             return jax.nn.silu(rawdot(w_ref, x) + b_ref[...]).astype(bf16)
 
+        def dotf(w_ref, b_ref, x):
+            # f32 variant feeding the DW stencil: the stencil accumulates in
+            # f32 anyway, so the bf16 round-trip (astype + re-convert) is two
+            # pure VPU passes of waste.
+            return jax.nn.silu(rawdot(w_ref, x) + b_ref[...])
+
         mleft_f = mleft.astype(f32)
         mright_f = mright.astype(f32)
+        inimg_f = inimg.astype(f32)
 
-        def dw3x3(x, wdw_ref, bdw_ref):
+        def dw3x3(xf, wdw_ref, bdw_ref):
             # 9-tap depthwise stencil: per-plane scalar weights broadcast
             # over lanes; dy shifts by whole rows (slice+concat), dx by
-            # lane rolls with wrap-edge masks. The f32 accumulation input
-            # is converted ONCE up front: shifting in f32 costs the same
-            # VPU passes as bf16 (the VPU is f32-native) and drops the
-            # per-tap convert (9 per bottleneck).
-            xf = x.astype(f32)
-            c = x.shape[0]
+            # lane rolls with wrap-edge masks. Input arrives f32 straight
+            # from the expand dot (no bf16 round-trip). Schedule: the 3
+            # masked-roll dx variants are formed ONCE (rolls commute with
+            # row shifts), then each row shift is a single slice+concat of
+            # a variant -- 19 VPU passes for 9 taps vs 25 for the naive
+            # roll-per-tap order.
+            c = xf.shape[0]
             z = jnp.zeros((c, lp), f32)
-            shifted = {-1: jnp.concatenate([z, xf[:, :-lp]], axis=1),
-                       0: xf,
-                       1: jnp.concatenate([xf[:, lp:], z], axis=1)}
-            acc = bdw_ref[...] * jnp.ones_like(xf)
-            for u in (-1, 0, 1):
-                for v in (-1, 0, 1):
-                    t = shifted[u]
-                    if v == -1:
-                        t = jnp.roll(t, 1, axis=1) * mleft_f
-                    elif v == 1:
-                        t = jnp.roll(t, -1, axis=1) * mright_f
-                    acc += wdw_ref[3 * (u + 1) + (v + 1)] * t
+            var = {-1: jnp.roll(xf, 1, axis=1) * mleft_f,
+                   0: xf,
+                   1: jnp.roll(xf, -1, axis=1) * mright_f}
+            acc = xf * wdw_ref[4] + bdw_ref[...]          # center tap + bias
+            for v in (-1, 0, 1):
+                tv = var[v]
+                acc += wdw_ref[v + 1] * jnp.concatenate(
+                    [z, tv[:, :-lp]], axis=1)             # dy = -1 row
+                acc += wdw_ref[7 + v] * jnp.concatenate(
+                    [tv[:, lp:], z], axis=1)              # dy = +1 row
+                if v != 0:
+                    acc += wdw_ref[4 + v] * tv            # dy = 0 row
             return jax.nn.silu(acc).astype(bf16)
 
         win, bin_ = rest[0:2]
@@ -381,8 +396,8 @@ def _kernel(x_hbm, riota, *refs, out_ref=None, scratch=None, sem=None,
         for i in range(cfg.depth):
             wexp, bexp, wdw, bdw, wproj, bproj = rest[2 + 6 * i:8 + 6 * i]
             src = ys[-1] if ys else x2[:cfg.cp]   # offset-0 slice = b half
-            t = dot(wexp, bexp, src)                        # [mid, S2] silu
-            t = t * inimg              # DW zero padding at image boundary
+            t = dotf(wexp, bexp, src)                       # [mid, S2] silu f32
+            t = t * inimg_f            # DW zero padding at image boundary
             t = dw3x3(t, wdw, bdw)                          # [mid, S2] silu
             ys.append(dot(wproj, bproj, t))                 # [c_, S2] silu
         # cv_out over the CSP concat = x2 full dot + per-y partial dots
