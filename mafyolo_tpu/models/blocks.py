@@ -233,6 +233,29 @@ class _RawConv(nn.Module):
                 x = fake_quant_sym(x.astype(jnp.float32), amax.value).astype(x.dtype)
             w_amax = jnp.abs(kernel).max(axis=(0, 1, 2), keepdims=True)
             kernel = fake_quant_sym(kernel, w_amax)
+        if (self.k == 3 and self.stride == 2 and self.groups == 1
+                and self.dilation == 1 and self.pad == 1 and not self.quant
+                and x.ndim == 4 and x.shape[1] >= 80 and x.shape[2] >= 80
+                and x.shape[2] % 2 == 0):
+            # W-paired stride-2 conv: absorb the width stride into channels
+            # with a FREE contiguous reshape NHWC [B,H,W,C] -> [B,H,W/2,2C]
+            # (output col x taps {2x-1, 2x, 2x+1} = pair x-1's odd element +
+            # pair x's both => a [3,2] window over pairs, stride (2,1), pad
+            # (1,0)). Doubles the contraction depth the MXU sees -- measured
+            # 0.89 -> 0.72 ms at the 160^2 18ch neck down-branch (L18) and
+            # neutral-to-winning at 80^2; loses below (tools/profile_s2conv).
+            b, h, w, cin = x.shape
+            zeros = jnp.zeros_like(kernel[:, :1])
+            kp = jnp.concatenate([
+                jnp.concatenate([zeros, kernel[:, 0:1]], axis=2),
+                jnp.concatenate([kernel[:, 1:2], kernel[:, 2:3]], axis=2),
+            ], axis=1)                                    # [3, 2, 2cin, cout]
+            y = jax.lax.conv_general_dilated(
+                x.reshape(b, h, w // 2, 2 * cin).astype(self.dtype),
+                kp.astype(self.dtype), window_strides=(2, 1),
+                padding=[(1, 1), (1, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(self.stride, self.stride),
