@@ -46,13 +46,17 @@ def model_flops(graph="maf-yolo-n", nc=80, img_size=640, deploy=True, batch=1):
     return flops, params
 
 
-def main():
+def get_args_parser():
     p = argparse.ArgumentParser("MAF-YOLO-TPU flops")
     p.add_argument("--graph", default="maf-yolo-n")
     p.add_argument("--nc", type=int, default=80)
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--train-form", action="store_true")
-    args = p.parse_args()
+    return p
+
+
+def main():
+    args = get_args_parser().parse_args()
     flops, params = model_flops(args.graph, args.nc, args.img_size,
                                 deploy=not args.train_form)
     # the reference reports thop MACs*2 as "Gflops" (yolo.py:469); XLA counts

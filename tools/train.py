@@ -47,8 +47,6 @@ def get_args_parser():
                    help="checkpoint every N epochs (evals/best always save)")
     p.add_argument("--max-labels", type=int, default=120)
     p.add_argument("--bf16", type=int, default=1)
-    p.add_argument("--remat", type=int, default=1,
-                   help="per-block rematerialization (recommended on TPU)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 2-7 into "
                         "save_dir/profile (tensorboard-viewable)")
@@ -98,10 +96,16 @@ def main(args):
               osp.join(args.save_dir, "args.yaml"))
     LOGGER.info(f"save dir: {args.save_dir}")
     if args.quant and args.calib:
-        # PTQ calibration path (reference engine.calibrate, engine.py:581-598)
+        # PTQ calibration path (reference engine.calibrate, engine.py:581-598).
+        # Calibration folds + quantizes an existing checkpoint, so a trained
+        # model is mandatory (reference loads args.calib_pt, engine.py:604).
+        if not args.pretrained:
+            raise SystemExit(
+                "--quant --calib requires --pretrained <checkpoint>: "
+                "PTQ calibration runs on a trained model (see tools/quantize.py)")
         import tools.quantize as Q
         qargs = Q.get_args_parser().parse_args([
-            "--weights", args.pretrained or "",
+            "--weights", args.pretrained,
             "--data", args.data_path, "--img-size", str(args.img_size),
             "--batch-size", str(args.batch_size), "--eval"])
         Q.run(qargs)

@@ -9,13 +9,17 @@ import cv2
 import numpy as np
 
 
-def main():
+def get_args_parser():
     p = argparse.ArgumentParser("label visualizer")
     p.add_argument("--img-dir", required=True)
     p.add_argument("--label-dir", default=None)
     p.add_argument("--out-dir", default="runs/vis")
     p.add_argument("--max-images", type=int, default=50)
-    args = p.parse_args()
+    return p
+
+
+def main():
+    args = get_args_parser().parse_args()
     label_dir = args.label_dir or args.img_dir.replace(
         f"{os.sep}images", f"{os.sep}labels")
     os.makedirs(args.out_dir, exist_ok=True)

@@ -39,11 +39,15 @@ def convert_annotation(xml_path, out_txt, names=VOC_NAMES):
     Path(out_txt).write_text("\n".join(lines) + ("\n" if lines else ""))
 
 
-def main():
+def get_args_parser():
     p = argparse.ArgumentParser("VOC xml -> YOLO txt")
     p.add_argument("--xml-dir", required=True)
     p.add_argument("--out-dir", required=True)
-    args = p.parse_args()
+    return p
+
+
+def main():
+    args = get_args_parser().parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     n = 0
     for f in sorted(Path(args.xml_dir).glob("*.xml")):
