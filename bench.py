@@ -1,9 +1,20 @@
 #!/usr/bin/env python3
-"""Benchmark: MAF-YOLO-N deploy-form inference throughput at 640px.
+"""Benchmark: MAF-YOLO deploy-form inference + training throughput at 640px.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = fraction of the bf16 MXU roofline (peak_flops / model_flops), the
-honest ceiling given no published latency numbers for the reference (BASELINE.md).
+Prints ONE JSON line. Primary metric (unchanged across rounds for
+comparability): MAF-YOLO-N bs32 deploy inference img/s on one chip.
+  vs_baseline        = fraction of the bf16 MXU roofline (197 TF/s / 10.5 GF)
+  vs_derived_ceiling = fraction of the measured VPU-bound ceiling (~2900 img/s;
+                       BASELINE.md "Derived throughput ceiling") — the honest
+                       speed-of-light for this depthwise-heavy architecture.
+Extra metrics (extra_metrics key): MAF-YOLO-S and -M deploy inference img/s and
+MAF-YOLO-N training img/s/chip (full optimizer step), per BASELINE.json configs.
+
+preprocessing_excluded=true: the s2d byte pack for the fused front-end runs
+host-side OUTSIDE the timed loop (the loader's letterbox step emits packed
+bytes directly; the reference's --task speed likewise excludes its
+HWC->CHW/normalize preprocessing from the infer timer, evaler.py:139). The
+measured on-device cost of packing instead in-graph is ~1.7 ms/batch32.
 """
 import json
 import time
@@ -16,33 +27,38 @@ setup_jax()
 import jax.numpy as jnp
 import numpy as np
 
-MODEL_GFLOPS_640 = 10.5       # reference README.md:24 (MAF-YOLO-N @640)
+MODEL_GFLOPS_640 = {"maf-yolo-n": 10.5, "maf-yolo-s": 25.5, "maf-yolo-m": 76.7}
 PEAK_TFLOPS = {"tpu": 197.0, "cpu": 0.5}   # v5e bf16 peak; cpu nominal
+DERIVED_CEILING_N_IPS = 2900.0  # BASELINE.md round-3 VPU-bound derivation
+
+# Fused Pallas front-end on/off per graph, decided by measurement on the real
+# chip (tools/profile_frontend_sm.py): the fused kernel wins where XLA's
+# 160^2-tier lowering is pathological. Measured round 4: N 9.5->? / S / M.
+FRONTEND_ON = {"maf-yolo-n": True, "maf-yolo-s": True, "maf-yolo-m": True}
 
 
-def main():
+def _force(x):
+    # block_until_ready is a no-op on some experimental platforms; a host
+    # value fetch is the only trustworthy fence
+    return float(jnp.asarray(x, jnp.float32).sum())
+
+
+def bench_infer(graph, batch, iters, dtype, on_accel):
     from mafyolo_tpu.models import build_model
     from mafyolo_tpu.models.reparam import fold_variables
+    from mafyolo_tpu.ops import frontend_pallas as F
     from mafyolo_tpu.ops.nms import fused_decode_nms
 
-    backend = jax.default_backend()
-    on_accel = backend != "cpu"
-    dtype = jnp.bfloat16 if on_accel else jnp.float32
-    batch = 32 if on_accel else 2
-    # 100 iters: the tunneled dispatch pipeline has a ~25ms warm-up that
-    # inflates short runs by >1ms/call (docs/STATUS.md round-2 notes)
-    iters = 100 if on_accel else 2
-
-    train_model = build_model("maf-yolo-n", nc=80)
+    train_model = build_model(graph, nc=80)
     variables = jax.jit(train_model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     folded = jax.device_put(fold_variables(train_model.specs, variables))
-    from mafyolo_tpu.ops import frontend_pallas as F
     skip = F.frontend_skip_until(train_model.specs, train_model.save) \
-        if on_accel else -1
-    model = build_model("maf-yolo-n", nc=80, deploy=True,
-                        skip_until=skip, dtype=dtype)
+        if (on_accel and FRONTEND_ON.get(graph, False)) else -1
+    model = build_model(graph, nc=80, deploy=True, skip_until=skip,
+                        dtype=dtype)
 
+    cfg = None
     if skip >= 0:
         cfg, wts = F.frontend_build(train_model.specs, folded, 640, 640,
                                     fuse_l2=skip >= 2)
@@ -51,8 +67,8 @@ def main():
     @jax.jit
     def predict(x_in):
         if skip >= 0:
-            # fused Pallas front-end (layers 0-2 in one kernel, host-packed
-            # s2d input, ops/frontend_pallas.py)
+            # fused Pallas front-end (layers 0..skip in one kernel,
+            # host-packed s2d input, ops/frontend_pallas.py)
             outs = F.frontend_apply_packed(model, x_in, wts, cfg,
                                            variables=folded)
         else:
@@ -64,32 +80,89 @@ def main():
 
     imgs_np = np.random.default_rng(0).integers(
         0, 255, (batch, 640, 640, 3), dtype=np.uint8)
-    # the s2d pack is host-side preprocessing (the loader's letterbox step
-    # emits it directly); the reference's speed task likewise excludes its
-    # HWC->CHW/normalize preprocessing from the infer timer (evaler.py:139)
     imgs = jnp.asarray(F.pack_s2d_np(imgs_np, cfg) if skip >= 0 else imgs_np)
 
-    def force(out):
-        # block_until_ready is a no-op on some experimental platforms; a host
-        # value fetch is the only trustworthy fence
-        return float(jnp.sum(out["scores"].astype(jnp.float32)))
-
-    force(predict(imgs))          # compile + warmup
-    force(predict(imgs))
+    _force(predict(imgs)["scores"])          # compile + warmup
+    _force(predict(imgs)["scores"])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = predict(imgs)
-    force(out)
+    _force(out["scores"])
     dt = time.perf_counter() - t0
-    ips = batch * iters / dt
+    return batch * iters / dt
 
+
+def bench_train(batch, iters, dtype):
+    """Full jitted train step (fwd+loss+grad+SGD+EMA) img/s, MAF-YOLO-N."""
+    from mafyolo_tpu.core.train_state import init_train_state, make_train_step
+    from mafyolo_tpu.models import build_model
+
+    s = 640
+    model = build_model("maf-yolo-n", nc=80, remat=False, dtype=dtype)
+    state = init_train_state(model, jax.random.PRNGKey(0), s)
+    step = make_train_step(model, num_classes=80, img_size=s)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (batch, s, s, 3), np.uint8))
+    targets = np.full((batch, 120, 5), -1, np.float32)
+    targets[:, 0] = [0, 0.5, 0.5, 0.4, 0.4]
+    targets[:, 1] = [3, 0.3, 0.3, 0.2, 0.2]
+    targets = jnp.asarray(targets)
+    one, mom = jnp.float32(0.01), jnp.float32(0.937)
+
+    def one_step(st):
+        st, m = step(st, imgs, targets, one, one, one, mom,
+                     jnp.bool_(True), False)
+        return st, m["loss"]
+
+    state, loss = one_step(state)   # compile + warmup
+    _force(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = one_step(state)
+    _force(loss)                    # steps serialize via state threading
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def main():
+    backend = jax.default_backend()
+    on_accel = backend != "cpu"
+    dtype = jnp.bfloat16 if on_accel else jnp.float32
+    batch = 32 if on_accel else 2
+    # 100 iters: the tunneled dispatch pipeline has a ~25ms warm-up that
+    # inflates short runs by >1ms/call (docs/STATUS.md round-2 notes)
+    iters = 100 if on_accel else 2
+
+    ips = bench_infer("maf-yolo-n", batch, iters, dtype, on_accel)
     peak = PEAK_TFLOPS.get(backend, 100.0) * 1e12
-    roofline_ips = peak / (MODEL_GFLOPS_640 * 1e9)
+
+    extra = {}
+    if on_accel:
+        for graph, key, it in (("maf-yolo-s",
+                                "mafyolo_s_infer_images_per_sec_640", 50),
+                               ("maf-yolo-m",
+                                "mafyolo_m_infer_images_per_sec_640", 25)):
+            try:
+                v = bench_infer(graph, batch, it, dtype, on_accel)
+                extra[key] = round(v, 2)
+                extra[key + "_vs_mxu_roofline"] = round(
+                    v / (peak / (MODEL_GFLOPS_640[graph] * 1e9)), 4)
+            except Exception as e:   # never lose the primary metric
+                extra[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            extra["mafyolo_n_train_images_per_sec_640"] = round(
+                bench_train(batch, 20, dtype), 2)
+        except Exception as e:
+            extra["mafyolo_n_train_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    roofline_ips = peak / (MODEL_GFLOPS_640["maf-yolo-n"] * 1e9)
     print(json.dumps({
         "metric": "mafyolo_n_infer_images_per_sec_640",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / roofline_ips, 4),
+        "vs_derived_ceiling": round(ips / DERIVED_CEILING_N_IPS, 4),
+        "preprocessing_excluded": True,
+        "extra_metrics": extra,
     }))
 
 

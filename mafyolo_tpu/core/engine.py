@@ -53,7 +53,8 @@ class Trainer:
             # legacy office path: EfficientRep+RepPANNeck+effidehead emitted
             # as a graph spec (models/office.py; reference yolo.py:166-172)
             from mafyolo_tpu.models.office import office_graph
-            self.graph = office_graph(cfg.model)
+            self.graph = office_graph(
+                cfg.model, getattr(cfg, "training_mode", "repvgg"))
         else:
             self.graph = getattr(cfg.model, "graph", None) or cfg.model.get(
                 "yaml_file", "maf-yolo-n")

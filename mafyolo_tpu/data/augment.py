@@ -63,6 +63,43 @@ def augment_hsv(im, rng: np.random.Generator, hgain=0.5, sgain=0.5, vgain=0.5):
     cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR, dst=im)
 
 
+_ALBUMENTATIONS_PIPE = None
+
+
+def albumentations_transform(im, labels, size=640, rng: np.random.Generator = None):
+    """Optional albumentations hook (reference data_augment.py:22-36, applied
+    from datasets.py:262-263 when ``albument`` is enabled).
+
+    labels are (n,5) cls + normalized xywh. Mirrors the reference pipeline
+    (Blur/MedianBlur/ToGray/CLAHE at p=0.01; the p=0.0 transforms are dead and
+    omitted). No-op when the albumentations package is not installed — exactly
+    the reference's try-import behavior.
+    """
+    global _ALBUMENTATIONS_PIPE
+    try:
+        import albumentations as A
+    except ImportError:
+        return im, labels
+    import random
+    if _ALBUMENTATIONS_PIPE is None:
+        _ALBUMENTATIONS_PIPE = A.Compose(
+            [A.Blur(p=0.01), A.MedianBlur(p=0.01), A.ToGray(p=0.01),
+             A.CLAHE(p=0.01)],
+            bbox_params=A.BboxParams(format="yolo",
+                                     label_fields=["class_labels"]))
+    if rng is not None:
+        # albumentations draws from the stdlib/np global RNGs; seed them from
+        # the per-(seed,epoch,idx) generator to keep the pipeline reproducible
+        random.seed(int(rng.integers(2**31)))
+        np.random.seed(int(rng.integers(2**31)))
+    new = _ALBUMENTATIONS_PIPE(image=im, bboxes=labels[:, 1:],
+                               class_labels=labels[:, 0])
+    labels = np.array([[c, *b] for c, b in zip(new["class_labels"],
+                                               new["bboxes"])],
+                      dtype=np.float32).reshape(-1, 5)
+    return new["image"], labels
+
+
 def mixup(im, labels, im2, labels2, rng: np.random.Generator):
     """Beta(32,32) image blend, labels concatenated (data_augment.py:85-100)."""
     r = rng.beta(32.0, 32.0)

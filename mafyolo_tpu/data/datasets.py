@@ -106,10 +106,12 @@ class DetectionDataset:
     def __init__(self, img_dir: str, img_size: int = 640, augment: bool = False,
                  hyp: Optional[Dict] = None, rect: bool = False, batch_size: int = 16,
                  stride: int = 32, pad: float = 0.0, class_names=None,
-                 max_cached_images: int = 40, task: str = "train"):
+                 max_cached_images: int = 40, task: str = "train",
+                 albument: bool = False):
         self.img_dir = img_dir
         self.img_size = img_size
         self.augment = augment
+        self.albument = albument
         self.hyp = dict(hyp or {})
         self.rect = rect
         self.stride = stride
@@ -360,6 +362,11 @@ class DetectionDataset:
             labels = np.zeros((0, 5), np.float32)
 
         if self.augment:
+            if self.albument:
+                # optional albumentations hook (reference datasets.py:262-263);
+                # no-op unless the package is installed
+                img, labels = A.albumentations_transform(
+                    img, labels, size=self.img_size, rng=rng)
             A.augment_hsv(img, rng, hgain=hyp["hsv_h"], sgain=hyp["hsv_s"],
                           vgain=hyp["hsv_v"])
             if rng.random() < hyp.get("flipud", 0):

@@ -85,13 +85,21 @@ class DataLoader:
         shapes = [s[2] for s in samples]
         return imgs, labels, shapes
 
-    def __iter__(self) -> Iterator:
+    def shard_order(self) -> np.ndarray:
+        """This shard's dataset indices for the current epoch. All shards
+        compute the same base permutation (same seed+epoch), so the
+        shard_id::num_shards slices partition the epoch exactly — the
+        DistributedSampler contract (reference data_load.py:65-67)."""
         n = len(self.dataset)
         if self.shuffle:
-            order = np.random.default_rng(self.seed + 1000003 * self.epoch).permutation(n)
+            order = np.random.default_rng(
+                self.seed + 1000003 * self.epoch).permutation(n)
         else:
             order = np.arange(n)
-        order = order[self.shard_id::self.num_shards]
+        return order[self.shard_id::self.num_shards]
+
+    def __iter__(self) -> Iterator:
+        order = self.shard_order()
         nb = len(order) // self.batch_size if self.drop_last \
             else -(-len(order) // self.batch_size)
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]

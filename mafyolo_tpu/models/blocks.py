@@ -776,6 +776,79 @@ class RepBlock(nn.Module):
         return x
 
 
+class BottleRep(nn.Module):
+    """Two rep-style convs + alpha-weighted identity (common.py:508-526).
+
+    In the CSPBep context (RepBlock with block=BottleRep, common.py:383-386)
+    weight=True always, so alpha is a learnable scalar. basic='repvgg' is the
+    yolov6-m family block; basic='conv' the ConvWrapper (conv-BN-SiLU k3) of
+    the -l family (get_block, common.py:2261-2267).
+    """
+    cin: int
+    cout: int
+    basic: str = "repvgg"
+    weight: bool = True
+    deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(deploy=self.deploy, quant=self.quant,
+                  calibrate=self.calibrate, dtype=self.dtype)
+        if self.basic == "repvgg":
+            y = RepVGGBlock(self.cin, self.cout, name="conv1", **kw)(x, train)
+            y = RepVGGBlock(self.cout, self.cout, name="conv2", **kw)(y, train)
+        else:
+            y = ConvWrapper(self.cout, name="conv1", **kw)(x, train)
+            y = ConvWrapper(self.cout, name="conv2", **kw)(y, train)
+        if self.cin != self.cout:
+            return y
+        if self.weight:
+            alpha = self.param("alpha", nn.initializers.ones, (1,),
+                               jnp.float32)
+            return y + alpha.astype(self.dtype) * x
+        return y + x
+
+
+def bepc3_chain_len(n: int) -> int:
+    """BottleRep count in a BepC3 of repeat n: RepBlock halves n for
+    BottleRep chains (common.py:383-386) -> 1 + max(n//2 - 1, 0)."""
+    return 1 + max(n // 2 - 1, 0)
+
+
+class BepC3(nn.Module):
+    """'Beer-mug' CSP RepC3 block (common.py:560-582): 1x1 split cv1/cv2,
+    a BottleRep chain on the cv1 branch, concat, 1x1 cv3. All three 1x1s are
+    Conv_C3 = conv-BN-SiLU (common.py:544-557; act defaults to SiLU for every
+    basic block). n is the pre-halving repeat count from the config."""
+    cin: int
+    cout: int
+    n: int = 1
+    e: float = 0.5
+    basic: str = "repvgg"
+    deploy: bool = False
+    quant: bool = False
+    calibrate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.cout * self.e)
+        cv = _convish(self.deploy, self.quant, self.calibrate)
+        kw = dict(basic=self.basic, deploy=self.deploy, quant=self.quant,
+                  calibrate=self.calibrate, dtype=self.dtype)
+        y1 = cv(c_, 1, act="silu", dtype=self.dtype, name="cv1")(x, train)
+        y2 = cv(c_, 1, act="silu", dtype=self.dtype, name="cv2")(x, train)
+        m = BottleRep(c_, c_, name="m_conv1", **kw)(y1, train)
+        for i in range(bepc3_chain_len(self.n) - 1):
+            m = BottleRep(c_, c_, name=f"m_block{i}", **kw)(m, train)
+        y = jnp.concatenate([m, y2], axis=-1)
+        return cv(self.cout, 1, act="silu", dtype=self.dtype,
+                  name="cv3")(y, train)
+
+
 class SimSPPF(nn.Module):
     """SPPF with ReLU/SimConv cells (common.py:96-112)."""
     cin: int

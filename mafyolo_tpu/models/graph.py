@@ -121,6 +121,15 @@ def parse_graph(graph: dict, nc: int, ch_in: int = 3):
             c2 = int(args[0])
             kw = dict(cin=c1, cout=c2, n=n)
             n = 1
+        elif kind == "BepC3":
+            # CSPBep office-path stage block (common.py:560-582); office
+            # graphs are emitted pre-scaled, channels verbatim
+            c1 = cin_of(frm[0], i)
+            c2 = int(args[0])
+            kw = dict(cin=c1, cout=c2, n=n,
+                      e=float(args[1]) if len(args) > 1 else 0.5,
+                      basic=str(args[2]) if len(args) > 2 else "repvgg")
+            n = 1
         elif kind == "SimSPPF":
             c1 = cin_of(frm[0], i)
             c2 = int(args[0])
@@ -169,6 +178,7 @@ _BLOCK_CTORS = {
     "Head_simota": B.Head_Simota,
     # legacy office path (models/office.py)
     "RepBlock": B.RepBlock,
+    "BepC3": B.BepC3,
     "SimSPPF": B.SimSPPF,
     "Transpose": B.TransposeUp,
     "Head_Effide": B.Head_Effide,

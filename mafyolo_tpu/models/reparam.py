@@ -168,6 +168,31 @@ def _fold_block(kind: str, kw: Dict, p, s):
             out[f"block{i}"] = fold_repvgg(p[f"block{i}"], s[f"block{i}"],
                                            kw["cout"], kw["cout"], stride=1)
         return out
+    if kind == "BepC3":
+        from .blocks import bepc3_chain_len
+        c_ = int(kw["cout"] * kw["e"])
+
+        def fold_bottlerep(bp, bs, cin):
+            o = {}
+            for cname, ci in (("conv1", cin), ("conv2", c_)):
+                if kw["basic"] == "repvgg":
+                    o[cname] = fold_repvgg(bp[cname], bs[cname], ci, c_,
+                                           stride=1)
+                else:   # ConvWrapper: plain conv-BN-SiLU, BN fold only
+                    o[cname] = {"block": _fold_cbn(bp[cname]["block"],
+                                                   bs[cname]["block"])}
+            if "alpha" in bp:
+                o["alpha"] = _np(bp["alpha"])
+            return o
+
+        out = {"cv1": _fold_cbn(p["cv1"], s["cv1"]),
+               "cv2": _fold_cbn(p["cv2"], s["cv2"]),
+               "cv3": _fold_cbn(p["cv3"], s["cv3"]),
+               "m_conv1": fold_bottlerep(p["m_conv1"], s["m_conv1"], c_)}
+        for i in range(bepc3_chain_len(kw["n"]) - 1):
+            out[f"m_block{i}"] = fold_bottlerep(p[f"m_block{i}"],
+                                                s[f"m_block{i}"], c_)
+        return out
     if kind == "SimSPPF":
         return {"cv1": _fold_cbn(p["cv1"], s["cv1"]),
                 "cv2": _fold_cbn(p["cv2"], s["cv2"])}

@@ -137,6 +137,29 @@ def convert_layer(sd: Dict, spec, torch_prefix: str) -> Tuple[Dict, Dict]:
             p[f"block{i}"], s[f"block{i}"] = _repvgg(
                 sd, f"{torch_prefix}.block.{i}", True)
         return p, s
+    if kind == "BepC3":
+        from mafyolo_tpu.models.blocks import bepc3_chain_len
+
+        def _bottlerep(pfx):
+            bp, bs = {}, {}
+            for cname in ("conv1", "conv2"):
+                if kw["basic"] == "repvgg":
+                    bp[cname], bs[cname] = _repvgg(sd, f"{pfx}.{cname}", True)
+                else:   # ConvWrapper basic block
+                    cp, cs = _take_convbn(sd, f"{pfx}.{cname}.block")
+                    bp[cname], bs[cname] = {"block": cp}, {"block": cs}
+            if f"{pfx}.alpha" in sd:   # BottleRep weight=True (common.py:518)
+                bp["alpha"] = np.asarray(sd[f"{pfx}.alpha"], np.float32)
+            return bp, bs
+
+        p, s = {}, {}
+        for c in ("cv1", "cv2", "cv3"):
+            p[c], s[c] = _take_convbn(sd, f"{torch_prefix}.{c}")
+        p["m_conv1"], s["m_conv1"] = _bottlerep(f"{torch_prefix}.m.conv1")
+        for i in range(bepc3_chain_len(kw["n"]) - 1):
+            p[f"m_block{i}"], s[f"m_block{i}"] = _bottlerep(
+                f"{torch_prefix}.m.block.{i}")
+        return p, s
     if kind == "SimSPPF":
         p1, s1 = _take_convbn(sd, f"{torch_prefix}.cv1")
         p2, s2 = _take_convbn(sd, f"{torch_prefix}.cv2")

@@ -156,7 +156,29 @@ YOLOV6N_OFFICE = dict(
 )
 
 
-def build_reference_office_model(num_classes: int = 80):
+# CSPBep office family (reference efficientrep.py:110, reppan.py:131 — the
+# yolov6-m topology at test-sized multiples; csp_e=2/3 exercises e != 0.5)
+YOLOV6M_OFFICE_CSP = dict(
+    build_type="office",
+    depth_multiple=0.33,
+    width_multiple=0.25,
+    backbone=dict(type="CSPBepBackbone",
+                  num_repeats=[1, 6, 12, 18, 6],
+                  out_channels=[64, 128, 256, 512, 768],
+                  csp_e=float(2) / 3),
+    neck=dict(type="CSPRepPANNeck",
+              num_repeats=[12, 12, 12, 12],
+              out_channels=[256, 128, 128, 256, 256, 512],
+              csp_e=float(2) / 3),
+    head=dict(type="EffiDeHead", in_channels=[128, 256, 512],
+              num_layers=3, begin_indices=24, anchors=1,
+              out_indices=[17, 20, 23], strides=[8, 16, 32],
+              use_dfl=True, reg_max=16),
+)
+
+
+def build_reference_office_model(num_classes: int = 80, model_cfg=None,
+                                 training_mode: str = "repvgg"):
     """Construct the reference torch Model via the OFFICE (non-yaml) path
     (yolo.py:166-172 build_network) with the yolov6n-shaped config."""
     install_stubs()
@@ -164,6 +186,6 @@ def build_reference_office_model(num_classes: int = 80):
         sys.path.insert(0, REFERENCE)
     from mafyolo_tpu.utils.config import ConfigDict
     from yolov6.models.yolo import Model
-    cfg = ConfigDict(dict(model=dict(YOLOV6N_OFFICE),
-                          training_mode="repvgg"))
+    cfg = ConfigDict(dict(model=dict(model_cfg or YOLOV6N_OFFICE),
+                          training_mode=training_mode))
     return Model(cfg, channels=3, num_classes=num_classes)

@@ -145,3 +145,23 @@ def test_process_loader_matches_thread_loader(tmp_path):
     for (ia, ta), (ib, tb) in zip(batches[False], batches[True]):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(ta, tb)
+
+
+def test_albumentations_hook(synth):
+    """Optional albumentations wrapper (reference data_augment.py:22-36):
+    identity no-op when the package is absent; dataset with albument=True
+    still yields valid samples either way."""
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8)
+    labels = np.array([[1, 0.5, 0.5, 0.25, 0.25]], np.float32)
+    out_img, out_labels = A.albumentations_transform(
+        img, labels, size=64, rng=np.random.default_rng(0))
+    try:
+        import albumentations  # noqa: F401
+    except ImportError:
+        assert out_img is img and out_labels is labels
+    assert out_labels.shape[1] == 5
+
+    ds = DetectionDataset(synth["train"], img_size=128, augment=True,
+                          hyp=dict(HYP, mosaic=0.0), albument=True)
+    im, lab, _ = ds.get_sample(0, np.random.default_rng(0))
+    assert im.shape[2] == 3 and lab.shape[1] == 5
