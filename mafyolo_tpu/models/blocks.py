@@ -109,9 +109,16 @@ class ConvBN(nn.Module):
                 kernel_dilation=(self.dilation, self.dilation), use_bias=False,
                 kernel_init=torch_conv_kernel_init,
                 dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        # BN computes in the model dtype; flax upcasts the STATISTICS to f32
+        # internally (normalization._compute_stats) and the params/running
+        # stats stay f32, so only the elementwise normalize runs in bf16 --
+        # whose output was cast to self.dtype right here anyway. The explicit
+        # f32 materialization it replaces cost ~1.4 ms/instance fwd at the
+        # 320^2x24 L0 shape and more in the backward (tools/profile_bwd_micro
+        # round-4 BN probe).
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
-            dtype=jnp.float32, param_dtype=jnp.float32, name="bn")(x.astype(jnp.float32))
+            dtype=self.dtype, param_dtype=jnp.float32, name="bn")(x)
         return _activate(x.astype(self.dtype), self.act)
 
 
@@ -435,8 +442,8 @@ class RepVGGBlock(nn.Module):
                        name="pw")(x, train)
         if self.cin == self.cout and self.stride == 1:
             idn = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
-                               dtype=jnp.float32, param_dtype=jnp.float32,
-                               name="idbn")(x.astype(jnp.float32))
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               name="idbn")(x)
             y = y + idn.astype(self.dtype)
         return nn.relu(y)
 
@@ -522,8 +529,8 @@ class UniRepLKNetBlock(nn.Module):
                            name="fused")(x, train)
         y = DilatedReparamBlock(self.ch, self.k, dtype=self.dtype, name="drb")(x, train)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
-                         dtype=jnp.float32, param_dtype=jnp.float32,
-                         name="post_bn")(y.astype(jnp.float32))
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name="post_bn")(y)
         return y.astype(self.dtype)
 
 

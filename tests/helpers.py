@@ -29,12 +29,6 @@ def make_synth_dataset(root, n_images=16, img_size=320, max_objects=4, nc=3, see
             h = int(rng.integers(img_size * 3 // 4, img_size * 5 // 4))
             w = int(rng.integers(img_size * 3 // 4, img_size * 5 // 4))
             img = rng.integers(90, 130, (h, w, 3)).astype(np.uint8)
-            if noise:
-                # per-pixel texture: spatially-varying features break the
-                # massive score ties flat images cause (equal-score anchors
-                # make NMS tie-breaking framework-dependent)
-                img = np.clip(img.astype(np.int16) + rng.integers(
-                    -noise, noise + 1, (h, w, 3)), 0, 255).astype(np.uint8)
             lines = []
             for _ in range(int(rng.integers(1, max_objects + 1))):
                 c = int(rng.integers(0, nc))
@@ -46,6 +40,14 @@ def make_synth_dataset(root, n_images=16, img_size=320, max_objects=4, nc=3, see
                               COLORS[c % len(COLORS)], -1)
                 cx, cy = (x1 + bw / 2) / w, (y1 + bh / 2) / h
                 lines.append(f"{c} {cx:.6f} {cy:.6f} {bw / w:.6f} {bh / h:.6f}")
+            if noise:
+                # per-pixel texture AFTER the solid rectangles: convs are
+                # shift-invariant, so any flat region (the drawn objects!)
+                # yields bit-equal scores at neighboring anchors, and
+                # greedy-NMS tie-breaking between equal scores is
+                # framework-dependent -- the texture de-degenerates them
+                img = np.clip(img.astype(np.int16) + rng.integers(
+                    -noise, noise + 1, (h, w, 3)), 0, 255).astype(np.uint8)
             cv2.imwrite(str(img_dir / f"{i:06d}.jpg"), img)
             (lbl_dir / f"{i:06d}.txt").write_text("\n".join(lines) + "\n")
     data = dict(

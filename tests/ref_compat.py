@@ -124,10 +124,18 @@ def install_stubs():
 
 
 def build_reference_model(variant: str = "n", num_classes: int = 80):
-    """Construct the reference torch Model (yaml path) on CPU."""
+    """Construct the reference torch Model (yaml path) on CPU.
+
+    Seeds torch's default generator BEFORE construction: the reference
+    initializes weights from the process-global RNG at module creation, so an
+    unseeded build makes every score-thresholded downstream test (the AP
+    parity matrix at protocol conf 0.03) nondeterministic across processes.
+    """
     install_stubs()
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
+    import torch
+    torch.manual_seed(0)
     from mafyolo_tpu.utils.config import ConfigDict
     from yolov6.models.yolo import Model
     cfg = ConfigDict(dict(model=dict(
@@ -180,10 +188,15 @@ YOLOV6M_OFFICE_CSP = dict(
 def build_reference_office_model(num_classes: int = 80, model_cfg=None,
                                  training_mode: str = "repvgg"):
     """Construct the reference torch Model via the OFFICE (non-yaml) path
-    (yolo.py:166-172 build_network) with the yolov6n-shaped config."""
+    (yolo.py:166-172 build_network) with the yolov6n-shaped config.
+
+    Seeded before construction for the same determinism reason as
+    build_reference_model above."""
     install_stubs()
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
+    import torch
+    torch.manual_seed(0)
     from mafyolo_tpu.utils.config import ConfigDict
     from yolov6.models.yolo import Model
     cfg = ConfigDict(dict(model=dict(model_cfg or YOLOV6N_OFFICE),
