@@ -46,7 +46,8 @@ class Evaler:
                  force_no_pad: bool = False, workers: int = 8,
                  verbose: bool = False, do_coco_metric: bool = True,
                  do_pr_metric: bool = False,
-                 plot_confusion_matrix: bool = False, save_dir: str = "."):
+                 plot_confusion_matrix: bool = False, save_dir: str = ".",
+                 rect_bucket: int = 0):
         self.data = data_dict
         self.img_size = img_size
         self.batch_size = batch_size
@@ -55,6 +56,9 @@ class Evaler:
         self.max_det = max_det
         self.task = task
         self.rect = rect
+        # 0 = reference-exact stride-granular rect batch shapes; 64 collapses
+        # the shape set (fewer XLA compiles) at the cost of wider pad bands
+        self.rect_bucket = rect_bucket
         self.half = half
         self.test_load_size = test_load_size
         self.letterbox_return_int = letterbox_return_int
@@ -145,7 +149,7 @@ class Evaler:
             self.data[task], self.img_size, self.batch_size, stride=32, hyp=hyp,
             augment=False, rect=self.rect, pad=pad, workers=self.workers,
             shuffle=False, class_names=class_names or self.data.get("names"),
-            task=task)
+            task=task, rect_bucket=self.rect_bucket)
         self.dataset = dataset
         return loader
 

@@ -107,13 +107,14 @@ class DetectionDataset:
                  hyp: Optional[Dict] = None, rect: bool = False, batch_size: int = 16,
                  stride: int = 32, pad: float = 0.0, class_names=None,
                  max_cached_images: int = 40, task: str = "train",
-                 albument: bool = False):
+                 albument: bool = False, rect_bucket: int = 0):
         self.img_dir = img_dir
         self.img_size = img_size
         self.augment = augment
         self.albument = albument
         self.hyp = dict(hyp or {})
         self.rect = rect
+        self.rect_bucket = rect_bucket
         self.stride = stride
         self.pad = pad
         self.task = task
@@ -239,12 +240,17 @@ class DetectionDataset:
         self.batch_shapes = (np.ceil(
             np.array(shapes) * self.img_size / self.stride + self.pad
         ).astype(np.int64) * self.stride)
-        # TPU shape bucketing: every distinct batch shape is a separate XLA
-        # compile, so round the short side up to a multiple of 64 (the
-        # reference runs eager torch and doesn't care; letterbox pads the
-        # extra rows, scale_coords undoes them). Typically collapses the
-        # per-dataset shape set from dozens to <=5.
-        self.batch_shapes = -(-self.batch_shapes // 64) * 64
+        # Optional TPU shape bucketing: every distinct batch shape is a
+        # separate XLA compile, so rect_bucket=64 rounds shapes up to a
+        # multiple of 64, typically collapsing the per-dataset shape set from
+        # dozens to <=5 (letterbox pads the extra rows; scale_coords undoes
+        # them). DEFAULT OFF: the stride-granular formula above is the
+        # reference protocol (datasets.py:690-695), and coarser buckets grow
+        # the constant letterbox-pad bands, perturbing pad-adjacent
+        # detections vs the reference (round-5 AP-parity-matrix finding).
+        if self.rect_bucket:
+            self.batch_shapes = (-(-self.batch_shapes // self.rect_bucket)
+                                 * self.rect_bucket)
 
     def __len__(self):
         return len(self.img_paths)

@@ -146,12 +146,12 @@ class DataLoader:
 def create_dataloader(path, img_size, batch_size, stride=32, hyp=None, augment=False,
                       rect=False, pad=0.0, workers=8, shuffle=False, seed=0,
                       class_names=None, max_labels=120, shard_id=0, num_shards=1,
-                      task="train", use_processes=False):
+                      task="train", use_processes=False, rect_bucket=0):
     """Dataset + loader in one call (data_load.py:14-114 analog)."""
     dataset = DetectionDataset(
         path, img_size=img_size, augment=augment, hyp=hyp, rect=rect,
         batch_size=batch_size, stride=stride, pad=pad, class_names=class_names,
-        task=task)
+        task=task, rect_bucket=rect_bucket)
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=shuffle,
                         workers=workers, seed=seed, max_labels=max_labels,
                         drop_last=augment, shard_id=shard_id,

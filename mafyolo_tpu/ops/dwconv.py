@@ -89,3 +89,68 @@ def _bwd_rule(pad, dilation, res, g):
 
 
 dw_conv.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Channel-multiplier variant: ONE depthwise pass computing nB parallel branch
+# convolutions (round-5 merged DilatedReparamBlock, models/blocks.py). The
+# kernel is group-major interleaved: output channel c*nB + j is branch j of
+# input channel c (XLA grouped-conv semantics: output feature o reads input
+# group o // (O/G) with G = C groups).
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dw_conv_multi(x, kernel, pad: int):
+    """x [B,H,W,C], kernel [K,K,1,C*nB] (dense; dilated branches pre-embedded)
+    -> [B,H,W,C*nB]. Stride 1, dilation 1 (branch dilations live in the
+    embedded taps)."""
+    return _fwd_multi(x, kernel, pad)
+
+
+def _fwd_multi(x, kernel, pad):
+    c = x.shape[-1]
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)], feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _fwd_multi_rule(x, kernel, pad):
+    return _fwd_multi(x, kernel, pad), (x, kernel)
+
+
+def _bwd_multi_rule(pad, res, g):
+    x, kernel = res
+    k = kernel.shape[0]
+    c = x.shape[-1]
+    nb = kernel.shape[-1] // c
+    # dx[c] = sum_j conv(g[..., c*nB+j], flip(kernel[..., c*nB+j])): one
+    # grouped conv, G=C groups of nB cotangent channels each -> 1 output
+    # channel per group. Kernel [K,K,nB,C]: I dim = branch j, O dim = c.
+    kf = jnp.flip(kernel, axis=(0, 1)).reshape(k, k, c, nb)
+    kf = jnp.transpose(kf, (0, 1, 3, 2))
+    pad_t = (k - 1) - pad
+    dx = jax.lax.conv_general_dilated(
+        g, kf.astype(g.dtype), window_strides=(1, 1),
+        padding=[(pad_t, pad_t), (pad_t, pad_t)], feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # dkernel: K^2 shifted taps; each contracts x-patch [B,H,W,C] against the
+    # cotangent reshaped [B,H,W,C,nB] over (B,H,W) -> [C,nB] per tap.
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    gh, gw = g.shape[1], g.shape[2]
+    gf = g.astype(jnp.float32).reshape(g.shape[0], gh, gw, c, nb)
+    taps = []
+    for ky in range(k):
+        row = []
+        for kx in range(k):
+            patch = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(xp, ky, gh, axis=1),
+                kx, gw, axis=2)
+            row.append(jnp.sum(patch.astype(jnp.float32)[..., None] * gf,
+                               axis=(0, 1, 2)))          # [C, nB]
+        taps.append(jnp.stack(row, 0))
+    dk = jnp.stack(taps, 0).reshape(k, k, 1, c * nb).astype(kernel.dtype)
+    return dx.astype(x.dtype), dk
+
+
+dw_conv_multi.defvjp(_fwd_multi_rule, _bwd_multi_rule)

@@ -57,6 +57,9 @@ def get_args_parser():
     p.add_argument("--do_coco_metric", type=int, default=1,
                    help="pycocotools-protocol mAP (default on)")
     p.add_argument("--plot_confusion_matrix", action="store_true")
+    p.add_argument("--rect-bucket", type=int, default=0,
+                   help="round rect batch shapes up to this multiple (e.g. 64)"
+                        " to cut XLA compile count; 0 = reference-exact")
     return p
 
 
@@ -91,7 +94,8 @@ def run(args):
                     max_det=args.max_det, task=args.task, half=bool(args.half),
                     workers=args.workers, verbose=args.verbose,
                     do_pr_metric=do_pr, do_coco_metric=bool(args.do_coco_metric),
-                    plot_confusion_matrix=args.plot_confusion_matrix, **extra)
+                    plot_confusion_matrix=args.plot_confusion_matrix,
+                    rect_bucket=args.rect_bucket, **extra)
     loader = evaler.init_data()
     evaler.init_model(graph, variables, nc, folded=bool(ckpt.get("folded", False)))
     preds = evaler.predict_model(loader)

@@ -55,10 +55,18 @@ def _fwd(x, k, stride, pad):
 def _bwd(stride, pad, res, g):
     x, k = res
     kh, kw, cin, cout = k.shape
-    # dx: standard transposed conv (what XLA does; it is fine)
+    # dx: standard transposed conv (what XLA does; it is fine). The high side
+    # needs the trailing-edge adjustment (W+2p-k)%s so dx matches x's shape
+    # for stride-2 even-sized inputs (ADVICE r4: symmetric padding yielded
+    # H/2*2-1 vs H).
+    h, w = x.shape[1], x.shape[2]
+    adj_h = (h + 2 * pad - kh) % stride
+    adj_w = (w + 2 * pad - kw) % stride
     dx = jax.lax.conv_transpose(
         g, jnp.flip(k, (0, 1)).astype(g.dtype).transpose(0, 1, 3, 2),
-        strides=(stride, stride), padding=[(kh - 1 - pad,) * 2, (kw - 1 - pad,) * 2],
+        strides=(stride, stride),
+        padding=[(kh - 1 - pad, kh - 1 - pad + adj_h),
+                 (kw - 1 - pad, kw - 1 - pad + adj_w)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=False)
     # dk: explicit im2col patches + one MXU dot over B*H'*W'
     patches = jax.lax.conv_general_dilated_patches(
@@ -107,12 +115,19 @@ def main():
 
         t_xla = timeit(mk(conv), x, k3, k1, iters=args.iters)
         t_pd = timeit(mk(conv_pdot), x, k3, k1, iters=args.iters)
-        # parity
+        # parity: dk AND dx (dx would flow if this VJP were ever promoted
+        # into the training path; ADVICE r4 asked for the explicit check)
         gx = jax.grad(lambda kk: jnp.sum(conv(x, kk, 2, 1).astype(jnp.float32)))(k3)
         gp = jax.grad(lambda kk: jnp.sum(conv_pdot(x, kk, 2, 1).astype(jnp.float32)))(k3)
         err = float(jnp.max(jnp.abs(gx - gp)) / (jnp.max(jnp.abs(gx)) + 1e-9))
+        dxx = jax.grad(lambda xx: jnp.sum(conv(xx, k3, 2, 1).astype(jnp.float32)))(x)
+        dxp = jax.grad(lambda xx: jnp.sum(conv_pdot(xx, k3, 2, 1).astype(jnp.float32)))(x)
+        assert dxp.shape == x.shape, (dxp.shape, x.shape)
+        err_x = float(jnp.max(jnp.abs(dxx.astype(jnp.float32)
+                                      - dxp.astype(jnp.float32)))
+                      / (float(jnp.max(jnp.abs(dxx))) + 1e-9))
         print(f"{name}: xla {t_xla*1e3:.2f} ms, patches-dot {t_pd*1e3:.2f} ms, "
-              f"rel err {err:.2e}")
+              f"rel err dk {err:.2e} dx {err_x:.2e}")
 
 
 if __name__ == "__main__":
