@@ -43,7 +43,7 @@ def _force(x):
     return float(jnp.asarray(x, jnp.float32).sum())
 
 
-def bench_infer(graph, batch, iters, dtype, on_accel):
+def bench_infer(graph, batch, iters, dtype, on_accel, latency_iters=0):
     from mafyolo_tpu.models import build_model
     from mafyolo_tpu.models.reparam import fold_variables
     from mafyolo_tpu.ops import frontend_pallas as F
@@ -89,7 +89,22 @@ def bench_infer(graph, batch, iters, dtype, on_accel):
         out = predict(imgs)
     _force(out["scores"])
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    ips = batch * iters / dt
+    if not latency_iters:
+        return ips
+    # per-batch e2e latency distribution (BASELINE.json north-star "p50 e2e
+    # latency"): dispatch + device step + forced host sync each iteration.
+    # The per-iter sync includes the tunnel round-trip (~measured below as
+    # p50 - async mean), which a colocated host would not pay.
+    lats = []
+    for _ in range(latency_iters):
+        t1 = time.perf_counter()
+        _force(predict(imgs)["scores"])
+        lats.append((time.perf_counter() - t1) * 1e3)
+    lats = np.sort(np.asarray(lats))
+    pct = {p: float(lats[min(len(lats) - 1, int(round(p / 100 * (len(lats) - 1))))])
+           for p in (50, 99)}
+    return ips, pct
 
 
 def bench_train(batch, iters, dtype):
@@ -132,10 +147,12 @@ def main():
     # inflates short runs by >1ms/call (docs/STATUS.md round-2 notes)
     iters = 100 if on_accel else 2
 
-    ips = bench_infer("maf-yolo-n", batch, iters, dtype, on_accel)
+    ips, lat = bench_infer("maf-yolo-n", batch, iters, dtype, on_accel,
+                           latency_iters=50 if on_accel else 2)
     peak = PEAK_TFLOPS.get(backend, 100.0) * 1e12
 
-    extra = {}
+    extra = {"mafyolo_n_p50_ms": round(lat[50], 2),
+             "mafyolo_n_p99_ms": round(lat[99], 2)}
     if on_accel:
         for graph, key, it in (("maf-yolo-s",
                                 "mafyolo_s_infer_images_per_sec_640", 50),

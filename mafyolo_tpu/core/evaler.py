@@ -45,7 +45,7 @@ class Evaler:
                  letterbox_return_int: bool = False, scale_exact: bool = False,
                  force_no_pad: bool = False, workers: int = 8,
                  verbose: bool = False, do_coco_metric: bool = True,
-                 do_pr_metric: bool = False,
+                 do_pr_metric: bool = False, plot_curve: bool = True,
                  plot_confusion_matrix: bool = False, save_dir: str = ".",
                  rect_bucket: int = 0):
         self.data = data_dict
@@ -68,6 +68,7 @@ class Evaler:
         self.verbose = verbose
         self.do_coco_metric = do_coco_metric
         self.do_pr_metric = do_pr_metric
+        self.plot_curve = plot_curve
         self.plot_confusion_matrix = plot_confusion_matrix
         self.save_dir = save_dir
         self.pr_metric_result = (0.0, 0.0)
@@ -114,7 +115,9 @@ class Evaler:
         @jax.jit
         def predict(imgs_u8):
             h, w = imgs_u8.shape[1:3]
-            if fe_skip >= 0 and h % 4 == 0 and w % 4 == 0:
+            if (fe_skip >= 0 and h % 4 == 0 and w % 4 == 0
+                    and FE.frontend_feasible(
+                        FE.frontend_cfg(specs, h, w, fuse_l2=fe_skip >= 2))):
                 cfg, wts = FE.frontend_build(specs, self.variables, h, w,
                                              fuse_l2=fe_skip >= 2)
                 xp = FE.pack_s2d(imgs_u8, cfg)
@@ -284,7 +287,12 @@ class Evaler:
             self.pr_metric_result = (0.0, 0.0)
             return {"P": 0.0, "R": 0.0, "F1": 0.0, "mAP50": 0.0, "mAP": 0.0}
         stats[0] = stats[0].reshape(-1, 10)
-        p, r, ap, f1, ap_class = ap_per_class(*stats)
+        names = class_names or self.data.get("names") or \
+            [str(c) for c in range(self.nc)]
+        # plot_curve renders PR/F1/P/R curve PNGs into save_dir, the
+        # reference's ap_per_class(plot=self.plot_curve) (evaler.py:246)
+        p, r, ap, f1, ap_class = ap_per_class(
+            *stats, plot=self.plot_curve, save_dir=self.save_dir, names=names)
         mf1 = f1.mean(0)
         # the reference picks the LAST argmax of mean F1 (evaler.py:251)
         best = len(mf1) - mf1[::-1].argmax() - 1
@@ -300,8 +308,6 @@ class Evaler:
         pf = "%-16s" + "%12i" * 2 + "%12.3g" * 5
         LOGGER.info(pf % ("all", self._pr_seen, nt.sum(), mp, mr, mf1[best],
                           map50, map_))
-        names = class_names or self.data.get("names") or \
-            [str(c) for c in range(self.nc)]
         if self.verbose and self.nc > 1:
             for ci, c in enumerate(ap_class):
                 LOGGER.info(pf % (names[c], self._pr_seen, nt[c], p[ci, best],
@@ -309,13 +315,15 @@ class Evaler:
                                   ap_mean[ci]))
         self.pr_metric_result = (float(map50), float(map_))
         if self.plot_confusion_matrix:
-            # reference renders a PNG (metrics.py ConfusionMatrix.plot); we
-            # persist the raw matrix, which carries the same information
+            # PNG heatmap (reference metrics.py ConfusionMatrix.plot) + the
+            # raw matrix as CSV for machine consumption
             out = Path(self.save_dir) / "confusion_matrix.csv"
             np.savetxt(out, self.confusion_matrix.matrix, fmt="%d",
                        delimiter=",",
                        header=",".join(list(names) + ["background"]))
-            LOGGER.info(f"confusion matrix -> {out}")
+            self.confusion_matrix.plot(save_dir=self.save_dir,
+                                       names=list(names))
+            LOGGER.info(f"confusion matrix -> {out} (+ .png)")
         return {"P": float(mp), "R": float(mr), "F1": float(mf1[best]),
                 "mAP50": float(map50), "mAP": float(map_)}
 

@@ -148,6 +148,36 @@ CALIB_HIST_BINS = 0
 INT8_INFER = False
 
 
+class QuantAct(nn.Module):
+    """Standalone activation quantizer for non-conv ops: the maxpool inputs in
+    SPPF/SimSPPF/MPRep and the neck upsample output. TPU analog of the
+    reference's QuantMaxPool2d input quantizer (tools/qat/qat_utils.py:127-144)
+    and RepPANNeck.upsample_enable_quant (yolov6/models/reppan.py:89-97).
+    Calibrate mode records the running |x| max (+ optional histogram) and
+    passes through; quant mode fake-quantizes with STE. amax==0 is a no-op."""
+    calibrate: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        amax = self.variable("quant", "act_amax",
+                             lambda: jnp.zeros((), jnp.float32))
+        if self.calibrate:
+            if not self.is_initializing():
+                amax.value = jnp.maximum(amax.value,
+                                         jnp.abs(x.astype(jnp.float32)).max())
+            if CALIB_HIST_BINS:
+                hist = self.variable(
+                    "quant", "act_hist",
+                    lambda: jnp.zeros((CALIB_HIST_BINS,), jnp.float32))
+                if not self.is_initializing():
+                    h, _ = jnp.histogram(
+                        jnp.abs(x.astype(jnp.float32)), bins=CALIB_HIST_BINS,
+                        range=(0.0, jnp.maximum(amax.value, 1e-12)))
+                    hist.value = hist.value + h.astype(jnp.float32)
+            return x
+        return fake_quant_sym(x.astype(jnp.float32), amax.value).astype(x.dtype)
+
+
 class _RawConv(nn.Module):
     """Bare conv (the {'kernel','bias'} leaf of deploy blocks) with optional
     int8 fake quantization: per-output-channel weights, per-tensor activations."""
@@ -401,9 +431,13 @@ class SPPF(nn.Module):
         c_ = self.cin // 2
         cv = _convish(self.deploy, self.quant, self.calibrate)
         x = cv(c_, 1, act="silu", dtype=self.dtype, name="cv1")(x, train)
-        y1 = max_pool_same(x, self.k)
-        y2 = max_pool_same(y1, self.k)
-        y3 = max_pool_same(y2, self.k)
+        # one shared input quantizer across the three pool applications, like
+        # the reference's single QuantMaxPool2d module reused three times
+        q = QuantAct(calibrate=self.calibrate, name="pool_q") if self.quant \
+            else (lambda t: t)
+        y1 = max_pool_same(q(x), self.k)
+        y2 = max_pool_same(q(y1), self.k)
+        y3 = max_pool_same(q(y2), self.k)
         y = jnp.concatenate([x, y1, y2, y3], axis=-1)
         return cv(self.cout, 1, act="silu", dtype=self.dtype, name="cv2")(y, train)
 
@@ -461,7 +495,9 @@ class MPRep(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.cout // 2
-        a = nn.max_pool(x, (2, 2), strides=(2, 2))
+        xp = QuantAct(calibrate=self.calibrate, name="pool_q")(x) \
+            if self.quant else x
+        a = nn.max_pool(xp, (2, 2), strides=(2, 2))
         a = _convish(self.deploy, self.quant, self.calibrate)(c_, 1, act="silu", dtype=self.dtype, name="pool_proj")(a, train)
         b = RepVGGBlock(self.cin, c_, stride=2, deploy=self.deploy,
                         plain=self.plain, quant=self.quant,
@@ -734,13 +770,20 @@ class Head_Simota(nn.Module):
 
 
 class Upsample2x(nn.Module):
-    """nn.Upsample(scale=2, mode='nearest') equivalent; exact integer-repeat, fusion-friendly."""
+    """nn.Upsample(scale=2, mode='nearest') equivalent; exact integer-repeat,
+    fusion-friendly. quant=True inserts a fake-quant on the OUTPUT, the
+    reference's upsample_enable_quant (yolov6/models/reppan.py:89-115)."""
     dtype: Dtype = jnp.float32
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train
-        return _up2x(x)
+        y = _up2x(x)
+        if self.quant:
+            y = QuantAct(calibrate=self.calibrate, name="up_q")(y)
+        return y
 
 
 class Concat(nn.Module):
@@ -871,9 +914,11 @@ class SimSPPF(nn.Module):
         c_ = self.cin // 2
         cv = _convish(self.deploy, self.quant, self.calibrate)
         x = cv(c_, 1, act="relu", dtype=self.dtype, name="cv1")(x, train)
-        y1 = max_pool_same(x, self.k)
-        y2 = max_pool_same(y1, self.k)
-        y3 = max_pool_same(y2, self.k)
+        q = QuantAct(calibrate=self.calibrate, name="pool_q") if self.quant \
+            else (lambda t: t)
+        y1 = max_pool_same(q(x), self.k)
+        y2 = max_pool_same(q(y1), self.k)
+        y3 = max_pool_same(q(y2), self.k)
         y = jnp.concatenate([x, y1, y2, y3], axis=-1)
         return cv(self.cout, 1, act="relu", dtype=self.dtype,
                   name="cv2")(y, train)

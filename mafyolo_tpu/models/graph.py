@@ -269,7 +269,9 @@ class GraphNet(nn.Module):
                 if spec.idx in lazy_ups:
                     x = B.LazyUp2x(inp)   # paramless; consumers commute it
                 else:
-                    x = B.Upsample2x(dtype=self.dtype, name=f"layer{spec.idx}")(inp, train)
+                    x = B.Upsample2x(dtype=self.dtype, quant=self.quant,
+                                     calibrate=self.calibrate,
+                                     name=f"layer{spec.idx}")(inp, train)
             elif spec.kind == "Concat":
                 if spec.idx in fused_cats:
                     x = tuple(inp)        # split-conv consumer, no concat

@@ -214,6 +214,34 @@ def _bias(b):
     return jnp.asarray(np.asarray(b, np.float32).reshape(-1, 1))
 
 
+def frontend_cfg(specs, h: int, w: int, fuse_l2: bool = True) -> FrontendCfg:
+    """Static front-end geometry for an (h, w) input -- no weights needed, so
+    callers can check band feasibility (frontend_feasible) before committing
+    to the kernel path."""
+    c0 = dict(specs[0].kwargs)["cout"]
+    c1 = dict(specs[1].kwargs)["cout"]
+    depth = c_ = mid = c2 = 0
+    if fuse_l2:
+        kw = dict(specs[2].kwargs)
+        depth = kw["depth"]
+        c2 = kw["cout"]
+        c_ = int(c2 * kw["expansion"])
+        mid = int(c_ * kw["depth_expansion"])
+    return FrontendCfg(c0=c0, c1=c1, hb=h // 4, wb=w // 4, lp=lanepad_for(w),
+                       depth=depth, c_=c_, mid=mid, c2=c2)
+
+
+def frontend_feasible(cfg: FrontendCfg) -> bool:
+    """True when a 128-lane-aligned band size exists for this geometry (small
+    or odd shapes -- e.g. 96px eval, some stride-granular rect shapes -- have
+    none; callers must fall back to the XLA front-end there)."""
+    try:
+        _pick_rows(cfg)
+        return True
+    except ValueError:
+        return False
+
+
 def frontend_build(specs, variables, h: int, w: int,
                    fuse_l2: bool = True) -> tuple[FrontendCfg, list]:
     """Folded deploy variables -> (cfg, flat weight operand list).
@@ -221,22 +249,16 @@ def frontend_build(specs, variables, h: int, w: int,
     Weight order: w0, b0, w1, b1[, win, bin,
     (wexp, bexp, wdw, bdw, wproj, bproj) per bottleneck, wout, bout].
     """
+    cfg = frontend_cfg(specs, h, w, fuse_l2=fuse_l2)
     p = variables["params"]["net"]
     k0 = p["layer0"]["fused"]["conv"]
     k1 = p["layer1"]["fused"]["conv"]
-    c0, c1 = k0["kernel"].shape[-1], k1["kernel"].shape[-1]
     wts = [jnp.asarray(_w0_blocked(k0["kernel"]), jnp.bfloat16),
            _bias(np.tile(np.asarray(k0["bias"], np.float32), 4)),
            jnp.asarray(_w1_blocked(k1["kernel"]), jnp.bfloat16),
            _bias(k1["bias"])]
-    depth = c_ = mid = c2 = 0
     if fuse_l2:
-        s2 = specs[2]
-        kw = dict(s2.kwargs)
-        depth = kw["depth"]
-        c2 = kw["cout"]
-        c_ = int(c2 * kw["expansion"])
-        mid = int(c_ * kw["depth_expansion"])
+        depth, c_, mid, c2 = cfg.depth, cfg.c_, cfg.mid, cfg.c2
         l2 = p["layer2"]
         # The CSP split (x[..., :c_], x[..., c_:]) and the (depth+2)-way
         # concat feeding cv_out are resolved HERE as row/column blocks of
@@ -279,8 +301,7 @@ def frontend_build(specs, variables, h: int, w: int,
             wy[:, :c_] = wout[:, (2 + i) * c_:(3 + i) * c_]
             wts.append(jnp.asarray(wy, jnp.bfloat16))
         wts.append(_bias(l2["cv_out"]["conv"]["bias"]))
-    cfg = FrontendCfg(c0=c0, c1=c1, hb=h // 4, wb=w // 4, lp=lanepad_for(w),
-                      depth=depth, c_=c_, mid=mid, c2=c2)
+    assert cfg.c0 == k0["kernel"].shape[-1] and cfg.c1 == k1["kernel"].shape[-1]
     return cfg, wts
 
 

@@ -20,16 +20,21 @@ def compute_ap(recall, precision):
     return ap, mpre, mrec
 
 
-def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16):
+def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16, plot=False,
+                 save_dir=".", names=()):
     """tp [N, T] bool (matched at T IoU thresholds), conf [N], pred_cls [N],
     target_cls [M] -> (p[nc,1000], r[nc,1000], ap[nc,T], f1[nc,1000],
     unique_classes) -- full confidence-swept curves, exactly the reference
-    return shape (metrics.py:13-76); the Evaler picks the max-F1 index."""
+    return shape (metrics.py:13-76); the Evaler picks the max-F1 index.
+
+    plot=True renders PR/F1/P/R curve PNGs into save_dir (the reference's
+    plot= path, metrics.py:61-70)."""
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
     unique_classes, nt = np.unique(target_cls, return_counts=True)
     nc = unique_classes.shape[0]
     px = np.linspace(0, 1, 1000)
+    py = []                  # per-class precision on the recall grid (IoU .5)
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
@@ -38,6 +43,8 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16):
         n_l = nt[ci]
         n_p = i.sum()
         if n_p == 0 or n_l == 0:
+            if plot:
+                py.append(np.zeros(1000))
             continue
         fpc = (1 - tp[i]).cumsum(0)
         tpc = tp[i].cumsum(0)
@@ -46,8 +53,21 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16):
         precision = tpc / (tpc + fpc)
         p_curve[ci] = np.interp(-px, -conf[i], precision[:, 0], left=1)
         for ti in range(tp.shape[1]):
-            ap[ci, ti], _, _ = compute_ap(recall[:, ti], precision[:, ti])
+            ap[ci, ti], mpre, mrec = compute_ap(recall[:, ti], precision[:, ti])
+            if plot and ti == 0:
+                py.append(np.interp(px, mrec, mpre))
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
+    if plot:
+        from pathlib import Path
+
+        from mafyolo_tpu.utils.plots import plot_mc_curve, plot_pr_curve
+        names = [names[int(c)] if int(c) < len(names) else str(int(c))
+                 for c in unique_classes]
+        d = Path(save_dir)
+        plot_pr_curve(px, py, ap, d / "PR_curve.png", names)
+        plot_mc_curve(px, f1_curve, d / "F1_curve.png", names, ylabel="F1")
+        plot_mc_curve(px, p_curve, d / "P_curve.png", names, ylabel="Precision")
+        plot_mc_curve(px, r_curve, d / "R_curve.png", names, ylabel="Recall")
     return p_curve, r_curve, ap, f1_curve, unique_classes.astype(int)
 
 
@@ -127,3 +147,13 @@ class ConfusionMatrix:
             for i, dc in enumerate(detection_classes):
                 if not (m1 == i).any():
                     self.matrix[dc, self.nc] += 1
+
+    def plot(self, normalize: bool = True, save_dir: str = "", names=()):
+        """Render the matrix heatmap PNG (metrics.py ConfusionMatrix.plot,
+        metrics.py:226-254)."""
+        import os
+
+        from mafyolo_tpu.utils.plots import plot_confusion_matrix
+        return plot_confusion_matrix(
+            self.matrix, os.path.join(str(save_dir), "confusion_matrix.png"),
+            names=names, normalize=normalize)

@@ -130,3 +130,19 @@ def test_frontend_apply_full_graph(folded_n):
                                    rtol=0.05, atol=0.02)
         np.testing.assert_allclose(np.asarray(gr), np.asarray(wr),
                                    rtol=0.05, atol=0.05)
+
+
+def test_frontend_feasibility_gate(folded_n):
+    """Shapes with no 128-lane-aligned band (e.g. 96px: lp=24 admits no
+    divisor-of-hb row count) must be detectable WITHOUT building weights, so
+    the Evaler can fall back to the XLA front-end instead of crashing
+    (regression: tools/train.py eval at --img-size 96 on the real chip)."""
+    from mafyolo_tpu.ops import frontend_pallas as F
+    model, _ = folded_n
+    assert F.frontend_feasible(F.frontend_cfg(model.specs, 640, 640))
+    assert F.frontend_feasible(F.frontend_cfg(model.specs, 64, 64))
+    assert not F.frontend_feasible(F.frontend_cfg(model.specs, 96, 96))
+    # geometry from specs matches geometry from weights
+    m, folded = folded_n
+    cfg_w, _ = F.frontend_build(m.specs, folded, 64, 64, fuse_l2=True)
+    assert cfg_w == F.frontend_cfg(m.specs, 64, 64, fuse_l2=True)

@@ -30,6 +30,36 @@ def test_plot_val_pred_draws(tmp_path):
     assert not np.array_equal(out[0], base), "no boxes drawn"
 
 
+def test_curve_and_confusion_rendering(tmp_path):
+    """ap_per_class(plot=True) writes PR/F1/P/R PNGs; ConfusionMatrix.plot
+    writes the heatmap PNG (reference metrics.py plot paths)."""
+    from mafyolo_tpu.utils.metrics import ConfusionMatrix, ap_per_class
+
+    rng = np.random.default_rng(0)
+    n = 60
+    tp = rng.random((n, 10)) < 0.6
+    conf = rng.random(n)
+    pred_cls = rng.integers(0, 3, n)
+    target_cls = np.concatenate([pred_cls[: n // 2], rng.integers(0, 3, 5)])
+    p, r, ap, f1, cls = ap_per_class(
+        tp, conf, pred_cls, target_cls, plot=True, save_dir=str(tmp_path),
+        names=["a", "b", "c"])
+    for f in ("PR_curve.png", "F1_curve.png", "P_curve.png", "R_curve.png"):
+        assert (tmp_path / f).stat().st_size > 1000, f
+    # plot=True must not change the numbers
+    p2, r2, ap2, f12, cls2 = ap_per_class(tp, conf, pred_cls, target_cls)
+    np.testing.assert_array_equal(ap, ap2)
+    np.testing.assert_array_equal(f1, f12)
+
+    cm = ConfusionMatrix(nc=3)
+    dets = np.array([[10.0, 10, 50, 50, 0.9, 1], [60, 60, 90, 90, 0.8, 2]])
+    labels = np.array([[1, 11.0, 11, 49, 49], [0, 0, 0, 8, 8]])
+    cm.process_batch(dets, labels)
+    out = cm.plot(save_dir=str(tmp_path), names=["a", "b", "c"])
+    assert (tmp_path / "confusion_matrix.png").stat().st_size > 1000
+    assert str(out).endswith("confusion_matrix.png")
+
+
 def test_plot_val_pred_conf_gate(tmp_path):
     import cv2
     path = str(tmp_path / "img.jpg")

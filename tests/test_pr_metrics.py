@@ -140,6 +140,11 @@ def test_evaler_pr_metric_end_to_end(tmp_path):
     assert metrics["mAP50"] > 0.99, metrics
     assert metrics["AP50"] > 0.99, metrics        # COCO side agrees
     assert (tmp_path / "confusion_matrix.csv").exists()
+    # rendered artifacts (reference ap_per_class(plot=True) + ConfusionMatrix
+    # .plot paths, yolov6/core/evaler.py:246,268)
+    for f in ("PR_curve.png", "F1_curve.png", "P_curve.png", "R_curve.png",
+              "confusion_matrix.png"):
+        assert (tmp_path / f).stat().st_size > 1000, f
     assert ev._pr_seen == 10
     # every image contributed predictions (regression: the vis-capture block
     # must not swallow the COCO conversion for images beyond the first 8)

@@ -65,6 +65,27 @@ def test_skip_and_partial_quant_helpers():
     assert float(only["net"]["layer1"]["conv"]["act_amax"]) == 3.0
 
 
+def test_pool_upsample_quantizers_present():
+    """SPPF/MPRep pool inputs and neck upsample outputs carry their own amax
+    entries (reference QuantMaxPool2d + upsample_enable_quant,
+    tools/qat/qat_utils.py:127-144, yolov6/models/reppan.py:89-115)."""
+    from mafyolo_tpu.core.quant import init_quant_tree, quant_layer_names
+    nc = 5
+    tm = build_model("maf-yolo-n", nc=nc)
+    v = tm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    folded = fold_variables(tm.specs, v)
+    q = init_quant_tree("maf-yolo-n", nc, folded)
+    names = quant_layer_names(q)
+    pool_qs = [n for n in names if n.endswith("pool_q")]
+    up_qs = [n for n in names if n.endswith("up_q")]
+    assert pool_qs, "no maxpool input quantizers in the amax tree"
+    assert up_qs, "no upsample output quantizers in the amax tree"
+    # SPPF shares ONE quantizer across its three pool applications (the
+    # reference reuses a single QuantMaxPool2d module), MPRep adds one each
+    sppf_qs = [n for n in pool_qs if "layer9/" in n or n.endswith("layer9/pool_q")]
+    assert len(sppf_qs) == 1, sppf_qs
+
+
 def test_histogram_calibration_end_to_end():
     """Two-pass percentile calibration on the real graph: every amax > 0 and
     <= the max-calibrated amax; inference tree has no act_hist leaves."""
