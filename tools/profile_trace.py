@@ -79,7 +79,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--graph", default="maf-yolo-n")
-    ap.add_argument("--stage", default="e2e", choices=["e2e", "fwd", "nms"])
+    ap.add_argument("--stage", default="e2e",
+                    choices=["e2e", "fwd", "nms", "train"])
     ap.add_argument("--parse", default=None, metavar="TRACE_DIR",
                     help="skip capture; parse an existing trace dir "
                     "(run in a fresh process: the pure-python protobuf "
@@ -92,6 +93,46 @@ def main():
 
     from mafyolo_tpu.utils.envs import setup_jax
     setup_jax()
+
+    if args.stage == "train":
+        # full train step (fwd+loss+grad+SGD+EMA) -- the round-5 backward hunt
+        from mafyolo_tpu.core.train_state import (init_train_state,
+                                                  make_train_step)
+        from mafyolo_tpu.models import build_model
+        model = build_model(args.graph, nc=80, remat=False, dtype=jnp.bfloat16)
+        state = init_train_state(model, jax.random.PRNGKey(0), 640)
+        step = make_train_step(model, num_classes=80, img_size=640)
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.integers(0, 255, (args.batch, 640, 640, 3),
+                                        np.uint8))
+        targets = np.full((args.batch, 120, 5), -1, np.float32)
+        targets[:, 0] = [0, 0.5, 0.5, 0.4, 0.4]
+        targets[:, 1] = [3, 0.3, 0.3, 0.2, 0.2]
+        targets = jnp.asarray(targets)
+        one, mom = jnp.float32(0.01), jnp.float32(0.937)
+
+        def one_step(st):
+            st, m = step(st, imgs, targets, one, one, one, mom,
+                         jnp.bool_(True), False)
+            return st, m["loss"]
+
+        def run(st):
+            for _ in range(args.iters):
+                st, loss = one_step(st)
+            return loss
+
+        state, _ = one_step(state)
+        jax.block_until_ready(state["params"])
+        tmp = tempfile.mkdtemp(prefix="maf_trace_")
+        with jax.profiler.trace(tmp):
+            loss = run(state)
+            float(loss)
+        print("trace dir:", tmp, flush=True)
+        subprocess.run([sys.executable, __file__, "--parse", tmp,
+                        "--top", str(args.top), "--iters", str(args.iters)],
+                       check=False)
+        return
+
     from mafyolo_tpu.models import build_model
     from mafyolo_tpu.models.reparam import fold_variables
     from mafyolo_tpu.ops import frontend_pallas as F
