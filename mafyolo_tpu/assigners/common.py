@@ -5,6 +5,7 @@ reference's CUDA-OOM -> CPU fallback path (yolov6/models/loss.py:102-149) outrig
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -86,3 +87,37 @@ def dedup_topk_mask(topk_idx, topk_valid, n: int):
         lead.append(jnp.arange(size).reshape(shape))
     counts = counts.at[(*lead, idx)].add(1)
     return jnp.where(counts > 1, 0, counts).astype(jnp.float32)
+
+
+def topk_rows(x, k: int, chunk: int = 128):
+    """Exact jax.lax.top_k over the last dim, computed hierarchically.
+
+    The flat TopK custom-call over [B*N, A] is the biggest op bucket in the
+    train-step device trace (49 ms at [3840, 8400] k=13; tools/profile_trace
+    --stage train, round 5) -- but forced-sync stage timing shows the WHOLE
+    loss forward costs 12.7 ms, i.e. the TopK custom-calls overlap the
+    TensorCore timeline (async/SparseCore offload) and are NOT a wall-time
+    cost. This helper is therefore a parity-exact building block, NOT wired
+    into the assigners. Stage 1 takes the top-k of each `chunk`-wide block,
+    stage 2 the top-k of the nch*k survivors; every global top-k element is
+    in its block's top-k, so the result EQUALS lax.top_k -- and since blocks
+    are index-ordered and each block's survivors are (value-desc,
+    lower-index-first) ordered, position order at stage 2 equals global
+    index order, preserving lax.top_k's lower-index-first tie semantics
+    exactly (tests/test_parity_reference.py::test_topk_rows_exact_vs_lax_topk).
+
+    Reference equivalence: torch.topk(metrics, self.topk, axis=-1)
+    (yolov6/assigners/tal_assigner.py:112-128 select_topk_candidates).
+    """
+    r, a = x.shape
+    nch = -(-a // chunk)
+    if k > chunk or nch * k >= a:
+        return jax.lax.top_k(x, k)
+    pad = nch * chunk - a
+    xp = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    v1, i1 = jax.lax.top_k(xp.reshape(r * nch, chunk), k)
+    gidx = (i1.reshape(r, nch, k)
+            + (jnp.arange(nch, dtype=i1.dtype) * chunk)[None, :, None])
+    v2, i2 = jax.lax.top_k(v1.reshape(r, nch * k), k)
+    idx = jnp.take_along_axis(gidx.reshape(r, nch * k), i2, axis=1)
+    return v2, idx

@@ -82,6 +82,45 @@ class _DWConvNoBias(nn.Module):
                        self.pad, self.dilation)
 
 
+import os as _os
+
+# Train-form W-paired stride-2 conv (the deploy _RawConv trick applied to
+# ConvBN's nn.Conv): absorb the width stride into channels with a free
+# contiguous reshape, doubling the MXU contraction depth AND the 128-lane
+# channel utilization for the conv, its dx, and its dk.
+# MEASURED-AND-REJECTED in-graph (round 5, tools/profile_step.py A/B on the
+# real chip): full step 171.7 -> 179.3 ms, forward 35.8 -> 40.0 -- the
+# reshape costs more fusion than the pairing saves in TRAIN form (deploy
+# keeps its win because the folded conv has no BN neighborhood). Kept
+# default-off behind MAFYOLO_PAIRED_TRAIN for future toolchains.
+PAIRED_TRAIN = bool(int(_os.environ.get("MAFYOLO_PAIRED_TRAIN", "0")))
+
+
+class _PairedS2Conv(nn.Module):
+    """3x3/s2 conv via the W-paired formulation; param tree identical to
+    nn.Conv's ({'kernel': [3,3,Cin,Cout]}). See _RawConv's deploy variant
+    (blocks.py) for the index derivation; numerics differ from the direct
+    conv only in bf16 contraction order (tests/test_paired_s2conv.py)."""
+    cout: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (3, 3, cin, self.cout), jnp.float32)
+        zeros = jnp.zeros_like(kernel[:, :1])
+        kp = jnp.concatenate([
+            jnp.concatenate([zeros, kernel[:, 0:1]], axis=2),
+            jnp.concatenate([kernel[:, 1:2], kernel[:, 2:3]], axis=2),
+        ], axis=1)                                    # [3, 2, 2cin, cout]
+        return jax.lax.conv_general_dilated(
+            x.reshape(b, h, w // 2, 2 * cin).astype(self.dtype),
+            kp.astype(self.dtype), window_strides=(2, 1),
+            padding=[(1, 1), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvBN(nn.Module):
     """conv(bias=False) + BatchNorm + optional activation (reference Conv/conv_bn cells)."""
     cout: int
@@ -102,6 +141,11 @@ class ConvBN(nn.Module):
             # large spatial sizes (2GB executables); use the custom-VJP op
             x = _DWConvNoBias(self.cout, self.k, p, self.dilation,
                               self.dtype, name="conv")(x)
+        elif (PAIRED_TRAIN and self.k == 3 and self.stride == 2
+              and self.groups == 1 and self.dilation == 1 and p == 1
+              and x.ndim == 4 and x.shape[1] >= 80 and x.shape[2] >= 80
+              and x.shape[2] % 2 == 0):
+            x = _PairedS2Conv(self.cout, self.dtype, name="conv")(x)
         else:
             x = nn.Conv(
                 self.cout, (self.k, self.k), strides=(self.stride, self.stride),

@@ -60,3 +60,22 @@ def test_paired_path_not_taken_below_threshold():
                    variables["params"]["bias"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_paired_train_module_matches_direct_conv():
+    """_PairedS2Conv (the MAFYOLO_PAIRED_TRAIN train-form cell, default-off,
+    measured-and-rejected round 5) == direct 3x3/s2 conv, f32 exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from mafyolo_tpu.models.blocks import _PairedS2Conv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 96, 96, 24)).astype(np.float32))
+    mod = _PairedS2Conv(cout=48, dtype=jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(v, x)
+    want = jax.lax.conv_general_dilated(
+        x, v["params"]["kernel"], (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=2e-5)

@@ -185,3 +185,29 @@ def test_dist2bbox_dfl_parity(rng):
     ref2 = t_b2d(torch.tensor(pts), torch.tensor(boxes), reg_max).numpy()
     ours2 = np.asarray(bbox2dist(jnp.array(pts), jnp.array(boxes), reg_max))
     np.testing.assert_allclose(ours2, ref2, rtol=1e-5, atol=1e-5)
+
+
+def test_topk_rows_exact_vs_lax_topk():
+    """Hierarchical top-k == flat lax.top_k bit-exactly, values AND indices
+    (incl. lower-index-first tie order), on random, tie-heavy, and
+    all-equal inputs."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mafyolo_tpu.assigners.common import topk_rows
+
+    rng = np.random.default_rng(0)
+    cases = [
+        jnp.asarray(rng.normal(size=(37, 8400)).astype(np.float32)),
+        # tie-heavy: quantized to few levels (zeros dominate, like early TAL)
+        jnp.asarray((rng.integers(0, 4, (16, 8400)) == 0).astype(np.float32)
+                    * rng.integers(1, 3, (16, 8400)).astype(np.float32)),
+        jnp.zeros((5, 8400), jnp.float32),
+        jnp.asarray(rng.normal(size=(8, 500)).astype(np.float32)),  # fallback
+    ]
+    for x in cases:
+        for k in (13, 9, 1):
+            v_ref, i_ref = lax.top_k(x, k)
+            v, i = topk_rows(x, k)
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
