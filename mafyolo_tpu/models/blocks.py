@@ -95,6 +95,12 @@ import os as _os
 # default-off behind MAFYOLO_PAIRED_TRAIN for future toolchains.
 PAIRED_TRAIN = bool(int(_os.environ.get("MAFYOLO_PAIRED_TRAIN", "0")))
 
+# Deploy pointwise conv as a reshape-free dot_general. MEASURED-AND-REJECTED
+# (round 5): N deploy infer 2309 -> 1921 img/s (the reshape variant was worse
+# still, 1473); XLA's conv op + its layout assignment beats every dot
+# formulation in-graph. Kept for future toolchains.
+PW_DOT = bool(int(_os.environ.get("MAFYOLO_PW_DOT", "0")))
+
 
 class _PairedS2Conv(nn.Module):
     """3x3/s2 conv via the W-paired formulation; param tree identical to
@@ -314,6 +320,15 @@ class _RawConv(nn.Module):
                 x = fake_quant_sym(x.astype(jnp.float32), amax.value).astype(x.dtype)
             w_amax = jnp.abs(kernel).max(axis=(0, 1, 2), keepdims=True)
             kernel = fake_quant_sym(kernel, w_amax)
+        if (PW_DOT and self.k == 1 and self.stride == 1 and self.groups == 1
+                and not self.quant and x.ndim == 4):
+            # pointwise conv as a DIRECT dot_general over the channel dim (no
+            # reshape -- the round-5 reshaped-dot variant lost 36% in-graph
+            # to layout-changing copies). Gated for on-chip A/B.
+            y = jax.lax.dot_general(
+                x.astype(self.dtype), kernel[0, 0].astype(self.dtype),
+                (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            return y.astype(self.dtype) + bias.astype(self.dtype)
         if (self.k == 3 and self.stride == 2 and self.groups == 1
                 and self.dilation == 1 and self.pad == 1 and not self.quant
                 and x.ndim == 4 and x.shape[1] >= 80 and x.shape[2] >= 80
