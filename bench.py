@@ -30,10 +30,16 @@ import numpy as np
 MODEL_GFLOPS_640 = {"maf-yolo-n": 10.5, "maf-yolo-s": 25.5, "maf-yolo-m": 76.7}
 PEAK_TFLOPS = {"tpu": 197.0, "cpu": 0.5}   # v5e bf16 peak; cpu nominal
 DERIVED_CEILING_N_IPS = 2900.0  # BASELINE.md round-3 VPU-bound derivation
+# Per-graph VPU-bound ceilings from the mechanical HLO FLOP-split derivation
+# (tools/graph_flops.py, round 5; BASELINE.md "S/M ceilings"). N's mechanical
+# number (2692) is slightly below the round-3 hand-derived 2900 (the HLO walk
+# counts every DW site incl. heads + pad taps); vs_derived_ceiling keeps the
+# 2900 anchor for round-over-round comparability.
+DERIVED_CEILING_IPS = {"maf-yolo-s": 1431.0, "maf-yolo-m": 639.0}
 
 # Fused Pallas front-end on/off per graph, decided by measurement on the real
-# chip (tools/profile_frontend_sm.py): the fused kernel wins where XLA's
-# 160^2-tier lowering is pathological. Measured round 4: N 9.5->? / S / M.
+# chip (tools/profile_frontend_sm.py, round 5, bs32@640 e2e img/s on/off):
+#   N 2212/1686 (+31%), S 1078/894 (+20%), M 561/528 (+6%) -> ON everywhere.
 FRONTEND_ON = {"maf-yolo-n": True, "maf-yolo-s": True, "maf-yolo-m": True}
 
 
@@ -163,6 +169,8 @@ def main():
                 extra[key] = round(v, 2)
                 extra[key + "_vs_mxu_roofline"] = round(
                     v / (peak / (MODEL_GFLOPS_640[graph] * 1e9)), 4)
+                extra[key + "_vs_derived_ceiling"] = round(
+                    v / DERIVED_CEILING_IPS[graph], 4)
             except Exception as e:   # never lose the primary metric
                 extra[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
