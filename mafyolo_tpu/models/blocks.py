@@ -95,6 +95,12 @@ import os as _os
 # default-off behind MAFYOLO_PAIRED_TRAIN for future toolchains.
 PAIRED_TRAIN = bool(int(_os.environ.get("MAFYOLO_PAIRED_TRAIN", "0")))
 
+# Force BatchNorm's elementwise normalize to f32 (the pre-round-4 behavior).
+# flax keeps batch statistics and running stats f32 either way; the round-4
+# bf16 default only changes the (x-mean)*rsqrt(var+eps) arithmetic dtype.
+# A/B harness: tools/profile_bn_ab.py (VERDICT r4 #4).
+BN_F32 = bool(int(_os.environ.get("MAFYOLO_BN_F32", "0")))
+
 # Deploy pointwise conv as a reshape-free dot_general. MEASURED-AND-REJECTED
 # (round 5): N deploy infer 2309 -> 1921 img/s (the reshape variant was worse
 # still, 1473); XLA's conv op + its layout assignment beats every dot
@@ -168,7 +174,8 @@ class ConvBN(nn.Module):
         # round-4 BN probe).
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
-            dtype=self.dtype, param_dtype=jnp.float32, name="bn")(x)
+            dtype=jnp.float32 if BN_F32 else self.dtype,
+            param_dtype=jnp.float32, name="bn")(x)
         return _activate(x.astype(self.dtype), self.act)
 
 
@@ -535,7 +542,8 @@ class RepVGGBlock(nn.Module):
                        name="pw")(x, train)
         if self.cin == self.cout and self.stride == 1:
             idn = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
-                               dtype=self.dtype, param_dtype=jnp.float32,
+                               dtype=jnp.float32 if BN_F32 else self.dtype,
+                               param_dtype=jnp.float32,
                                name="idbn")(x)
             y = y + idn.astype(self.dtype)
         return nn.relu(y)
@@ -624,7 +632,8 @@ class UniRepLKNetBlock(nn.Module):
                            name="fused")(x, train)
         y = DilatedReparamBlock(self.ch, self.k, dtype=self.dtype, name="drb")(x, train)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
-                         dtype=self.dtype, param_dtype=jnp.float32,
+                         dtype=jnp.float32 if BN_F32 else self.dtype,
+                         param_dtype=jnp.float32,
                          name="post_bn")(y)
         return y.astype(self.dtype)
 

@@ -72,3 +72,47 @@ def test_deterministic_init():
     v2 = m.init(jax.random.PRNGKey(7), x)
     for a, b in zip(jax.tree.leaves(v1), jax.tree.leaves(v2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_bn_tracks_f32_bn():
+    """bf16-mode BN normalize stays within bf16 rounding of the f32 build
+    (ADVICE r4 #2): flax must keep batch statistics in f32 (its
+    _compute_stats contract) so only the elementwise normalize rounds.
+    Catches a future flax change to stats precision or eval-mode drift."""
+    from mafyolo_tpu.models import blocks as B
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 24)).astype(np.float32) * 3)
+    mod16 = B.ConvBN(24, 3, act="silu", dtype=jnp.bfloat16)
+    mod32f = B.ConvBN(24, 3, act="silu", dtype=jnp.float32)
+    v = mod32f.init(jax.random.PRNGKey(1), x, train=False)
+    outs = {}
+    for train in (True, False):
+        y32 = mod32f.apply(v, x, train=train,
+                           mutable=["batch_stats"] if train else False)
+        old = B.BN_F32
+        try:
+            B.BN_F32 = False
+            y16 = mod16.apply(v, x.astype(jnp.bfloat16), train=train,
+                              mutable=["batch_stats"] if train else False)
+            B.BN_F32 = True
+            y16f = mod16.apply(v, x.astype(jnp.bfloat16), train=train,
+                               mutable=["batch_stats"] if train else False)
+        finally:
+            B.BN_F32 = old
+        a = np.asarray((y32[0] if train else y32), np.float32)
+        b = np.asarray((y16[0] if train else y16), np.float32)
+        c = np.asarray((y16f[0] if train else y16f), np.float32)
+        scale = np.abs(a).max()
+        # bf16 conv already rounds; BN dtype adds at most ~2 ulp on top of
+        # the f32-BN bf16 build -- assert both against the f32 reference
+        assert np.abs(a - b).max() <= 0.04 * scale, np.abs(a - b).max()
+        assert np.abs(a - c).max() <= 0.04 * scale, np.abs(a - c).max()
+        # and the two bf16 builds agree to bf16 rounding of each other
+        assert np.abs(b - c).max() <= 0.02 * scale, np.abs(b - c).max()
+        # flax contract: batch stats (running stats updates) stay f32-close
+        if train:
+            for k in ("mean", "var"):
+                s32 = np.asarray(y32[1]["batch_stats"]["bn"][k])
+                s16 = np.asarray(y16[1]["batch_stats"]["bn"][k])
+                np.testing.assert_allclose(s16, s32, rtol=1e-2, atol=1e-3)
