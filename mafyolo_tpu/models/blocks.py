@@ -531,8 +531,9 @@ class RepVGGBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.deploy:
-            y = ConvAct(self.cout, 3, self.stride, self.groups, dtype=self.dtype,
-                        name="fused")(x, train)
+            y = ConvAct(self.cout, 3, self.stride, self.groups,
+                        quant=self.quant, calibrate=self.calibrate,
+                        dtype=self.dtype, name="fused")(x, train)
             return nn.relu(y)
         y = ConvBN(self.cout, 3, self.stride, self.groups, dtype=self.dtype,
                    name="dense")(x, train)
@@ -604,8 +605,9 @@ class DilatedReparamBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.deploy:
-            return ConvAct(self.ch, self.k, groups=self.ch, dtype=self.dtype,
-                           name="fused")(x, train)
+            return ConvAct(self.ch, self.k, groups=self.ch,
+                           quant=self.quant, calibrate=self.calibrate,
+                           dtype=self.dtype, name="fused")(x, train)
         out = ConvBN(self.ch, self.k, groups=self.ch, dtype=self.dtype,
                      name="origin")(x, train)
         for ks, r in DILATED_BRANCHES[self.k]:
@@ -628,8 +630,9 @@ class UniRepLKNetBlock(nn.Module):
         if self.k == 0:
             return x
         if self.deploy:
-            return ConvAct(self.ch, self.k, groups=self.ch, dtype=self.dtype,
-                           name="fused")(x, train)
+            return ConvAct(self.ch, self.k, groups=self.ch,
+                           quant=self.quant, calibrate=self.calibrate,
+                           dtype=self.dtype, name="fused")(x, train)
         y = DilatedReparamBlock(self.ch, self.k, dtype=self.dtype, name="drb")(x, train)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=jnp.float32 if BN_F32 else self.dtype,
@@ -652,8 +655,9 @@ class ReparamLargeKernelConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.deploy:
-            y = ConvAct(self.ch, self.k, self.stride, groups=self.ch, dtype=self.dtype,
-                        name="fused")(x, train)
+            y = ConvAct(self.ch, self.k, self.stride, groups=self.ch,
+                        quant=self.quant, calibrate=self.calibrate,
+                        dtype=self.dtype, name="fused")(x, train)
             return nn.relu(y)
         y = ConvBN(self.ch, self.k, self.stride, groups=self.ch, dtype=self.dtype,
                    name="lk")(x, train)
@@ -1014,6 +1018,13 @@ class TransposeUp(nn.Module):
                             (2, 2, self.cin, self.cout), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.cout,),
                           jnp.float32)
+        if self.quant:
+            # reference swaps ConvTranspose2d -> QuantConvTranspose2d with
+            # input + per-channel weight quantizers (qat_utils.py:96-126)
+            x = QuantAct(calibrate=self.calibrate, name="in_q")(x)
+            if not self.calibrate:
+                w_amax = jnp.abs(kernel).max(axis=(0, 1, 2), keepdims=True)
+                kernel = fake_quant_sym(kernel, w_amax)
         b, h, w, _ = x.shape
         y = jnp.einsum("bhwi,uvio->bhuwvo", x.astype(self.dtype),
                        kernel.astype(self.dtype))
